@@ -1,0 +1,229 @@
+"""Fixed-shape greedy NMS for TPU.
+
+The reference calls torchvision's C++/CUDA ``nms`` with dynamically sized
+inputs (models/model.py:53, models/model.py:394, models/new_model.py:82,457).
+On TPU everything must be static, so this module implements **exact greedy
+NMS over a fixed box budget** with validity masks:
+
+* boxes are sorted by score once (padded/invalid boxes get ``-inf``),
+* tiles of ``tile`` boxes are processed in score order with a
+  ``lax.fori_loop``; each tile is first suppressed by every kept box of
+  earlier tiles (one shot — earlier tiles are final), then self-suppressed
+  to a fixpoint with a Gauss-Jacobi iteration over the strictly-upper
+  triangular overlap matrix (this converges to the greedy solution because
+  the dependency graph is a DAG ordered by score),
+* the result is a fixed-size ``[post_k]`` index buffer (original indices,
+  greedy order) padded with ``-1``.
+
+Suppression uses ``iou > threshold`` — identical to torchvision semantics
+(suppressed iff strictly greater).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.ops.boxes import box_iou
+
+Array = jax.Array
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _self_suppression_fixpoint(active0: Array, overlap: Array) -> Array:
+    """Iterate ``active[j] = ~any_k (active[k] & overlap[k, j])`` to fixpoint.
+
+    ``overlap`` must be strictly upper-triangular (k < j). At most T
+    iterations are needed; we stop as soon as the mask stops changing.
+    """
+
+    def cond(state):
+        active, prev, it = state
+        return jnp.logical_and(jnp.any(active != prev), it < active.shape[0])
+
+    def body(state):
+        active, _, it = state
+        suppressed = jnp.any(overlap & active[:, None], axis=0)
+        new_active = active0 & ~suppressed
+        return new_active, active, it + 1
+
+    init = (active0, jnp.zeros_like(active0), jnp.int32(0))
+    active, _, _ = jax.lax.while_loop(cond, body, init)
+    return active
+
+
+@functools.partial(
+    jax.jit, static_argnames=("post_k", "tile", "return_mask")
+)
+def nms(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float,
+    post_k: int,
+    valid: Array | None = None,
+    tile: int = 256,
+    return_mask: bool = False,
+):
+    """Exact greedy NMS with static shapes.
+
+    Args:
+      boxes: ``[n, 4]`` corner-form boxes (any scale; IoU is scale free).
+      scores: ``[n]`` scores; invalid entries may be anything.
+      iou_threshold: suppress a box iff IoU with a kept higher-scoring box
+        is ``> iou_threshold`` (torchvision semantics).
+      post_k: number of survivors to return (padded with ``-1``).
+      valid: optional ``[n]`` bool; ``False`` entries can neither be kept
+        nor suppress others.
+      tile: tile size for the blocked sweep.
+      return_mask: also return the per-box keep mask in original order.
+
+    Returns:
+      ``(keep_idx, keep_valid)`` — ``[post_k]`` int32 original-order indices
+      in greedy (descending score) order, ``-1``-padded, plus the validity
+      mask of those slots. With ``return_mask`` a third ``[n]`` bool array.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    scores = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    order = jnp.argsort(-scores)  # stable: ties keep original index order
+    sorted_boxes = jnp.pad(boxes[order], ((0, pad), (0, 0)))
+    sorted_valid = jnp.pad(valid[order] & (scores[order] > _NEG_INF), (0, pad))
+    order = jnp.pad(order, (0, pad), constant_values=-1)
+
+    num_tiles = n_pad // tile
+    positions = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def tile_body(t, keep):
+        start = t * tile
+        rows = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (tile, 4))
+        row_valid = jax.lax.dynamic_slice(sorted_valid, (start,), (tile,))
+
+        iou_all, _ = box_iou(rows, sorted_boxes)  # [tile, n_pad]
+        over = iou_all > iou_threshold
+
+        earlier_kept = keep & (positions < start)
+        cross_sup = jnp.any(over & earlier_kept[None, :], axis=1)
+        active0 = row_valid & ~cross_sup
+
+        tile_over = jax.lax.dynamic_slice(over, (0, start), (tile, tile))
+        local = jnp.arange(tile)
+        strict_upper = local[:, None] < local[None, :]
+        active = _self_suppression_fixpoint(active0, tile_over & strict_upper)
+
+        return jax.lax.dynamic_update_slice(keep, active, (start,))
+
+    keep = jax.lax.fori_loop(
+        0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool)
+    )
+
+    # First `post_k` kept boxes in score order -> fixed index buffer.
+    rank_key = jnp.where(keep, -positions, jnp.int32(-n_pad - 1))
+    _, sel = jax.lax.top_k(rank_key, post_k)
+    sel_valid = keep[sel]
+    keep_idx = jnp.where(sel_valid, order[sel], -1)
+
+    if return_mask:
+        full_mask = jnp.zeros((n,), dtype=bool)
+        safe = jnp.where(order[:n_pad] >= 0, order[:n_pad], 0)
+        full_mask = full_mask.at[safe].max(keep[:n_pad])
+        return keep_idx, sel_valid, full_mask
+    return keep_idx, sel_valid
+
+
+@functools.partial(jax.jit, static_argnames=("post_k", "tile"))
+def batched_nms(
+    boxes: Array,
+    scores: Array,
+    class_ids: Array,
+    iou_threshold: float,
+    post_k: int,
+    valid: Array | None = None,
+    tile: int = 256,
+):
+    """Class-aware NMS via the coordinate-offset trick (one kernel pass).
+
+    Boxes of different classes never suppress each other: each class's
+    boxes are shifted into a disjoint unit cell before a single greedy NMS.
+    """
+    offsets = class_ids.astype(jnp.float32)[:, None] * 2.0
+    shifted = boxes + offsets
+    return nms(
+        shifted, scores, iou_threshold, post_k=post_k, valid=valid, tile=tile
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "per_class_k", "max_det", "tile"),
+)
+def multiclass_nms(
+    cls_boxes: Array,
+    cls_probs: Array,
+    score_threshold: float,
+    iou_threshold: float,
+    num_classes: int,
+    per_class_k: int = 100,
+    max_det: int = 100,
+    tile: int = 128,
+):
+    """Per-class suppression of the test-time head, fixed output budget.
+
+    TPU-native counterpart of ``FRCNN._suppress`` (models/model.py:382-402):
+    the reference loops classes 1..C-1 in Python, boolean-masks by
+    ``prob > thres`` and calls CUDA NMS per class. Here all foreground
+    classes run as one vmapped fixed-shape NMS and the final detections are
+    the global top ``max_det`` by score.
+
+    Args:
+      cls_boxes: ``[n, num_classes, 4]`` per-class decoded boxes in [0, 1].
+      cls_probs: ``[n, num_classes]`` softmax probabilities.
+      score_threshold: drop detections with ``prob <=`` this (reference uses
+        strict ``>``, config ``opts.thres``).
+      iou_threshold: per-class NMS threshold (0.3 in the reference).
+      num_classes: includes background at index 0 (skipped).
+
+    Returns:
+      ``boxes [max_det, 4]``, ``labels [max_det]`` (0-based foreground ids,
+      reference shifts by -1), ``scores [max_det]``, ``valid [max_det]``.
+    """
+    fg_boxes = jnp.swapaxes(cls_boxes[:, 1:num_classes, :], 0, 1)  # [C-1,n,4]
+    fg_probs = jnp.swapaxes(cls_probs[:, 1:num_classes], 0, 1)  # [C-1,n]
+    fg_valid = fg_probs > score_threshold
+
+    def one_class(b, p, v):
+        idx, ok = nms(b, p, iou_threshold, post_k=per_class_k, valid=v, tile=tile)
+        safe = jnp.where(ok, idx, 0)
+        return b[safe], jnp.where(ok, p[safe], 0.0), ok
+
+    boxes_k, scores_k, valid_k = jax.vmap(one_class)(fg_boxes, fg_probs, fg_valid)
+
+    n_fg = num_classes - 1
+    labels_k = jnp.broadcast_to(
+        jnp.arange(n_fg, dtype=jnp.int32)[:, None], (n_fg, per_class_k)
+    )
+
+    flat_scores = jnp.where(valid_k.reshape(-1), scores_k.reshape(-1), -1.0)
+    if flat_scores.shape[0] < max_det:  # pad so max_det is always met
+        pad = max_det - flat_scores.shape[0]
+        flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-1.0)
+        boxes_k = jnp.concatenate(
+            [boxes_k.reshape(-1, 4), jnp.zeros((pad, 4), boxes_k.dtype)]
+        ).reshape(1, -1, 4)
+        labels_k = jnp.concatenate(
+            [labels_k.reshape(-1), jnp.zeros((pad,), labels_k.dtype)]
+        ).reshape(1, -1)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, max_det)
+    out_valid = top_scores > 0.0
+    out_boxes = boxes_k.reshape(-1, 4)[top_idx]
+    out_labels = jnp.where(out_valid, labels_k.reshape(-1)[top_idx], -1)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
+    return out_boxes, out_labels, out_scores, out_valid

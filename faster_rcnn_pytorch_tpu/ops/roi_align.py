@@ -1,0 +1,204 @@
+"""RoIAlign as batched matmuls (TPU-native, MXU-friendly).
+
+The reference relies on torchvision's C++/CUDA ``MultiScaleRoIAlign``
+(models/new_model.py:127,143). On TPU the bilinear interpolation of
+RoIAlign is reformulated: since bilinear weights are separable in y and x,
+
+    pool[n, p, q, c] = sum_h Wy[n, p, h] * sum_w Wx[n, q, w] * F[h, w, c]
+
+so each roi's pooled output is **two matrix multiplies** against the
+feature map — exactly the shape of work the MXU is built for — instead of
+the reference's scattered gathers. Sample-validity and rounding semantics
+match torchvision ``roi_align`` with ``aligned=False`` bit-for-bit:
+
+* ``roi_start = x1 * scale`` (no half-pixel offset),
+* ``roi_extent = max(x2*s - x1*s, 1.0)``,
+* ``sampling_ratio`` samples per bin axis at
+  ``start + (i + 0.5) * bin / ratio`` offsets,
+* samples with coordinate outside ``[-1, size]`` contribute zero; inside
+  samples clamp to ``[0, size-1]`` with the torchvision edge rule
+  (``low >= size-1`` collapses to the last cell with weight 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _interp_weights(coords: Array, size: int) -> Array:
+    """Bilinear interpolation row weights.
+
+    Args:
+      coords: ``[..., s]`` sample coordinates along one axis.
+      size: number of cells along that axis.
+
+    Returns:
+      ``[..., s, size]`` weights; rows for out-of-range samples are zero.
+    """
+    valid = (coords >= -1.0) & (coords <= size)
+    c = jnp.maximum(coords, 0.0)
+    low = jnp.floor(c).astype(jnp.int32)
+    collapse = low >= size - 1
+    low = jnp.where(collapse, size - 1, low)
+    c = jnp.where(collapse, low.astype(c.dtype), c)
+    high = jnp.where(collapse, low, low + 1)
+    frac = c - low.astype(c.dtype)
+
+    w_low = (1.0 - frac) * valid
+    w_high = frac * valid
+    eye = jnp.arange(size)
+    one_hot_low = (low[..., None] == eye).astype(coords.dtype)
+    one_hot_high = (high[..., None] == eye).astype(coords.dtype)
+    return w_low[..., None] * one_hot_low + w_high[..., None] * one_hot_high
+
+
+def _sample_coords(
+    start: Array, extent: Array, output_size: int, sampling_ratio: int
+) -> Array:
+    """[n] roi starts/extents -> [n, output_size * sampling_ratio] coords."""
+    bin_size = extent / output_size
+    sub = (jnp.arange(output_size * sampling_ratio) % sampling_ratio).astype(
+        jnp.float32
+    )
+    bin_idx = (
+        jnp.arange(output_size * sampling_ratio) // sampling_ratio
+    ).astype(jnp.float32)
+    offsets = bin_idx[None, :] * bin_size[:, None] + (
+        (sub[None, :] + 0.5) * bin_size[:, None] / sampling_ratio
+    )
+    return start[:, None] + offsets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "roi_chunk"),
+)
+def roi_align(
+    features: Array,
+    rois: Array,
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 32,
+) -> Array:
+    """RoIAlign over one feature map.
+
+    Args:
+      features: ``[h, w, c]`` (NHWC single image).
+      rois: ``[n, 4]`` xyxy boxes in *image pixel* coordinates.
+      spatial_scale: 1 / feature stride.
+      roi_chunk: rois processed per matmul batch (bounds the transient
+        ``[chunk, S, w, c]`` intermediate).
+
+    Returns:
+      ``[n, output_size, output_size, c]`` pooled features.
+    """
+    h, w, _ = features.shape
+    n = rois.shape[0]
+    s = output_size * sampling_ratio
+
+    x1 = rois[:, 0] * spatial_scale
+    y1 = rois[:, 1] * spatial_scale
+    x2 = rois[:, 2] * spatial_scale
+    y2 = rois[:, 3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    wy = _interp_weights(_sample_coords(y1, roi_h, output_size, sampling_ratio), h)
+    wx = _interp_weights(_sample_coords(x1, roi_w, output_size, sampling_ratio), w)
+    # wy: [n, S, h], wx: [n, S, w]
+
+    f32 = features.astype(jnp.float32)
+
+    pad_n = -(-n // roi_chunk) * roi_chunk
+    wy = jnp.pad(wy, ((0, pad_n - n), (0, 0), (0, 0)))
+    wx = jnp.pad(wx, ((0, pad_n - n), (0, 0), (0, 0)))
+    wy = wy.reshape(pad_n // roi_chunk, roi_chunk, s, h)
+    wx = wx.reshape(pad_n // roi_chunk, roi_chunk, s, w)
+
+    def chunk_fn(args):
+        wy_c, wx_c = args
+        # [chunk*S, h] @ [h, w*c] -> [chunk, S, w, c]
+        t1 = jax.lax.dot_general(
+            wy_c.reshape(-1, h),
+            f32.reshape(h, -1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(wy_c.shape[0], s, w, -1)
+        # contract w: [chunk, S(q), w] x [chunk, S(p), w, c] -> [chunk, p, q, c]
+        t2 = jnp.einsum("nqw,npwc->npqc", wx_c, t1, preferred_element_type=jnp.float32)
+        return t2
+
+    pooled = jax.lax.map(chunk_fn, (wy, wx))
+    pooled = pooled.reshape(pad_n, s, s, -1)[:n]
+    # Average the sampling_ratio x sampling_ratio sub-samples per bin.
+    pooled = pooled.reshape(
+        n, output_size, sampling_ratio, output_size, sampling_ratio, -1
+    )
+    return pooled.mean(axis=(2, 4)).astype(features.dtype)
+
+
+def fpn_level_assignment(
+    rois: Array,
+    canonical_scale: int = 224,
+    canonical_level: int = 4,
+    k_min: int = 2,
+    k_max: int = 5,
+    eps: float = 1e-6,
+) -> Array:
+    """torchvision ``LevelMapper`` parity: map each roi to an FPN level.
+
+    ``lvl = floor(canonical_level + log2(sqrt(area)/canonical_scale))``
+    clamped to ``[k_min, k_max]``; returns 0-based level indices.
+    Rois must be in image pixel coordinates.
+    """
+    area = jnp.clip(rois[:, 2] - rois[:, 0], 0) * jnp.clip(
+        rois[:, 3] - rois[:, 1], 0
+    )
+    lvl = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + eps))
+    return (jnp.clip(lvl, k_min, k_max) - k_min).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
+)
+def multiscale_roi_align(
+    features: tuple[Array, ...],
+    rois: Array,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 32,
+) -> Array:
+    """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity).
+
+    TPU-native strategy: rather than gathering level-specific features per
+    roi (dynamic shapes), every roi is pooled from **every** level and the
+    per-roi result is selected by its assigned level — four dense matmuls
+    and one select, no data-dependent shapes (models/new_model.py:127).
+
+    Args:
+      features: per-level ``[h_l, w_l, c]`` maps (P2..P5; the extra
+        max-pool level P6 feeds the RPN only, not the heads).
+      rois: ``[n, 4]`` xyxy in image pixel coordinates.
+    """
+    lvl = fpn_level_assignment(rois)
+    out = None
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        pooled = roi_align(
+            feat,
+            rois,
+            spatial_scale=1.0 / stride,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            roi_chunk=roi_chunk,
+        )
+        sel = (lvl == i).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out

@@ -1,0 +1,116 @@
+"""RoIPool (max pooling) with fixed-shape windows.
+
+The reference uses torchvision's C++/CUDA ``RoIPool(output_size=(7,7),
+spatial_scale=1.)`` with rois pre-scaled to feature-cell coordinates
+(models/model.py:97,106-113). Torchvision semantics, reproduced exactly:
+
+* roi corners are **rounded** to integer cells: ``start = round(x1*s)``,
+  ``end = round(x2*s)``,
+* ``roi_extent = max(end - start + 1, 1)`` cells,
+* bin ``p`` covers cells ``[start + floor(p*e/7), start + ceil((p+1)*e/7))``
+  clipped to the feature map,
+* value = max over the bin, 0 for empty bins.
+
+TPU-first reformulation: bin extents are bounded by
+``ceil(extent / output_size) + 1`` cells, so every bin is evaluated over a
+**static-size window** (computed from the static feature shape at trace
+time) with a validity mask and a masked max — no data-dependent shapes.
+The max is separable (max over a rectangle = max over rows of max over
+cols), so the gather cost is ``O(h * k_w + k_h)`` windows per roi instead
+of ``O(k_h * k_w)`` per bin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _bin_bounds(start: Array, extent: Array, size: Array, output_size: int):
+    """Integer bin [lo, hi) bounds per output bin, clipped to [0, size)."""
+    p = jnp.arange(output_size, dtype=jnp.float32)
+    e = extent.astype(jnp.float32)[:, None]
+    lo = jnp.floor(p[None, :] * e / output_size).astype(jnp.int32)
+    hi = jnp.ceil((p[None, :] + 1.0) * e / output_size).astype(jnp.int32)
+    lo = jnp.clip(lo + start[:, None], 0, size)
+    hi = jnp.clip(hi + start[:, None], 0, size)
+    return lo, hi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "roi_chunk")
+)
+def roi_pool(
+    features: Array,
+    rois: Array,
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+    roi_chunk: int = 16,
+) -> Array:
+    """Max RoIPool over one feature map.
+
+    Args:
+      features: ``[h, w, c]`` (NHWC single image).
+      rois: ``[n, 4]`` xyxy boxes, scaled by ``spatial_scale`` into
+        feature-cell coordinates (reference passes feature coords with
+        scale 1.0, models/model.py:108-110).
+      roi_chunk: rois per ``lax.map`` step (bounds transient memory).
+
+    Returns:
+      ``[n, output_size, output_size, c]``.
+    """
+    h, w, c = features.shape
+    n = rois.shape[0]
+
+    sx = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
+    sy = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
+    ex = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
+    ey = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
+    ext_w = jnp.maximum(ex - sx + 1, 1)
+    ext_h = jnp.maximum(ey - sy + 1, 1)
+
+    w_lo, w_hi = _bin_bounds(sx, ext_w, w, output_size)  # [n, 7]
+    h_lo, h_hi = _bin_bounds(sy, ext_h, h, output_size)
+
+    # Static per-bin window sizes (worst case over any roi on this map).
+    k_w = -(-w // output_size) + 1
+    k_h = -(-h // output_size) + 1
+
+    neg_inf = jnp.float32(-jnp.inf)
+    f32 = features.astype(jnp.float32)
+
+    pad_n = -(-n // roi_chunk) * roi_chunk
+
+    def pad(x):
+        return jnp.pad(x, ((0, pad_n - n), (0, 0))).reshape(
+            pad_n // roi_chunk, roi_chunk, output_size
+        )
+
+    def one_roi(wl, wh, hl, hh):  # each [output_size]
+        # Column max: masked window max along w for every row h.
+        w_idx = wl[:, None] + jnp.arange(k_w)[None, :]  # [7, kw]
+        w_ok = w_idx < wh[:, None]
+        w_idx = jnp.clip(w_idx, 0, w - 1)
+        g = f32[:, w_idx, :]  # [h, 7, kw, c]
+        g = jnp.where(w_ok[None, :, :, None], g, neg_inf)
+        colmax = jnp.max(g, axis=2)  # [h, 7(pw), c]
+
+        h_idx = hl[:, None] + jnp.arange(k_h)[None, :]  # [7, kh]
+        h_ok = h_idx < hh[:, None]
+        h_idx = jnp.clip(h_idx, 0, h - 1)
+        g2 = colmax[h_idx]  # [7(ph), kh, 7(pw), c]
+        g2 = jnp.where(h_ok[:, :, None, None], g2, neg_inf)
+        binmax = jnp.max(g2, axis=1)  # [7(ph), 7(pw), c]
+
+        empty = (hh <= hl)[:, None] | (wh <= wl)[None, :]  # [ph, pw]
+        return jnp.where(empty[..., None], 0.0, binmax)
+
+    out = jax.lax.map(
+        jax.vmap(one_roi), (pad(w_lo), pad(w_hi), pad(h_lo), pad(h_hi))
+    )
+    out = out.reshape(pad_n, output_size, output_size, c)[:n]
+    return out.astype(features.dtype)

@@ -1,0 +1,37 @@
+"""Test harness config: force a virtual 8-device CPU platform.
+
+Must run before anything imports jax (pytest imports conftest first), so
+multi-chip sharding tests can run without TPU hardware, per the reference
+test-strategy gap analysis (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The image ships a TPU platform plugin ("axon") that overrides the
+# JAX_PLATFORMS env var; an explicit config update after import wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def boxes_fixture(rs, n, scale=1.0):
+    """Random well-formed xyxy boxes in [0, scale]."""
+    xy1 = rs.uniform(0, 0.8 * scale, size=(n, 2))
+    wh = rs.uniform(0.02 * scale, 0.4 * scale, size=(n, 2))
+    xy2 = np.minimum(xy1 + wh, scale)
+    return np.concatenate([xy1, xy2], axis=1).astype(np.float32)

@@ -1,0 +1,176 @@
+"""RoIAlign / RoIPool parity vs numpy oracles that implement the exact
+torchvision C++ semantics (the ops the reference delegates to,
+models/model.py:97, models/new_model.py:127)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.ops.roi_align import (
+    roi_align,
+    multiscale_roi_align,
+    fpn_level_assignment,
+)
+from faster_rcnn_pytorch_tpu.ops.roi_pool import roi_pool
+
+
+def bilinear(feat, y, x):
+    h, w, _ = feat.shape
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[-1])
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    yl, xl = int(y), int(x)
+    if yl >= h - 1:
+        yh = yl = h - 1
+        y = float(yl)
+    else:
+        yh = yl + 1
+    if xl >= w - 1:
+        xh = xl = w - 1
+        x = float(xl)
+    else:
+        xh = xl + 1
+    ly, lx = y - yl, x - xl
+    return (
+        (1 - ly) * (1 - lx) * feat[yl, xl]
+        + (1 - ly) * lx * feat[yl, xh]
+        + ly * (1 - lx) * feat[yh, xl]
+        + ly * lx * feat[yh, xh]
+    )
+
+
+def np_roi_align(feat, rois, scale, out=7, ratio=2):
+    n = len(rois)
+    c = feat.shape[-1]
+    res = np.zeros((n, out, out, c), dtype=np.float64)
+    for i, (x1, y1, x2, y2) in enumerate(rois):
+        sx, sy = x1 * scale, y1 * scale
+        rw = max(x2 * scale - sx, 1.0)
+        rh = max(y2 * scale - sy, 1.0)
+        bw, bh = rw / out, rh / out
+        for ph in range(out):
+            for pw in range(out):
+                acc = np.zeros(c)
+                for iy in range(ratio):
+                    y = sy + ph * bh + (iy + 0.5) * bh / ratio
+                    for ix in range(ratio):
+                        x = sx + pw * bw + (ix + 0.5) * bw / ratio
+                        acc += bilinear(feat, y, x)
+                res[i, ph, pw] = acc / (ratio * ratio)
+    return res
+
+
+def np_roi_pool(feat, rois, scale, out=7):
+    h, w, c = feat.shape
+    n = len(rois)
+    res = np.zeros((n, out, out, c), dtype=np.float64)
+    for i, (x1, y1, x2, y2) in enumerate(rois):
+        sx = int(round(x1 * scale))
+        sy = int(round(y1 * scale))
+        ex = int(round(x2 * scale))
+        ey = int(round(y2 * scale))
+        rw = max(ex - sx + 1, 1)
+        rh = max(ey - sy + 1, 1)
+        for ph in range(out):
+            hs = min(max(sy + int(np.floor(ph * rh / out)), 0), h)
+            he = min(max(sy + int(np.ceil((ph + 1) * rh / out)), 0), h)
+            for pw in range(out):
+                ws = min(max(sx + int(np.floor(pw * rw / out)), 0), w)
+                we = min(max(sx + int(np.ceil((pw + 1) * rw / out)), 0), w)
+                if he <= hs or we <= ws:
+                    res[i, ph, pw] = 0.0
+                else:
+                    res[i, ph, pw] = feat[hs:he, ws:we].max(axis=(0, 1))
+    return res
+
+
+def rand_rois(rs, n, img_h, img_w):
+    xy1 = rs.uniform(0, [0.7 * img_w, 0.7 * img_h], size=(n, 2))
+    wh = rs.uniform([8, 8], [0.5 * img_w, 0.5 * img_h], size=(n, 2))
+    xy2 = np.minimum(xy1 + wh, [img_w, img_h])
+    return np.concatenate([xy1, xy2], 1).astype(np.float32)
+
+
+def test_roi_align_matches_torchvision_semantics():
+    rs = np.random.RandomState(0)
+    feat = rs.normal(size=(25, 38, 8)).astype(np.float32)
+    rois = rand_rois(rs, 17, 600, 400)
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, roi_chunk=8)
+    )
+    want = np_roi_align(feat, rois, 1.0 / 16)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_roi_align_degenerate_and_edge_rois():
+    rs = np.random.RandomState(1)
+    feat = rs.normal(size=(10, 12, 4)).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 0, 0, 0],  # degenerate -> clamps to min extent 1
+            [0, 0, 12 * 16, 10 * 16],  # full image
+            [11 * 16, 9 * 16, 12 * 16, 10 * 16],  # bottom-right corner
+            [5, 5, 6, 6],  # tiny
+        ],
+        dtype=np.float32,
+    )
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16))
+    want = np_roi_align(feat, rois, 1.0 / 16)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_roi_pool_matches_torchvision_semantics():
+    rs = np.random.RandomState(2)
+    feat = rs.normal(size=(50, 38, 6)).astype(np.float32)
+    # Reference passes rois pre-scaled to feature coords, scale=1
+    # (models/model.py:106-113).
+    rois = rand_rois(rs, 23, 38, 50)
+    got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 1.0, roi_chunk=8))
+    want = np_roi_pool(feat, rois, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_roi_pool_degenerate():
+    rs = np.random.RandomState(3)
+    feat = rs.normal(size=(12, 12, 3)).astype(np.float32)
+    rois = np.array([[0, 0, 0.4, 0.4], [11.6, 11.6, 12, 12]], dtype=np.float32)
+    got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 1.0))
+    want = np_roi_pool(feat, rois, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fpn_level_assignment_golden():
+    # canonical: 224^2 -> level 4 -> index 2 for strides (4,8,16,32)
+    rois = jnp.array(
+        [
+            [0, 0, 224, 224],
+            [0, 0, 112, 112],  # level 3 -> index 1
+            [0, 0, 56, 56],  # level 2 -> index 0
+            [0, 0, 448, 448],  # level 5 -> index 3
+            [0, 0, 10000, 10000],  # clamped to max
+            [0, 0, 4, 4],  # clamped to min
+        ],
+        dtype=jnp.float32,
+    )
+    lvl = np.asarray(fpn_level_assignment(rois))
+    np.testing.assert_array_equal(lvl, [2, 1, 0, 3, 3, 0])
+
+
+def test_multiscale_roi_align_selects_levels():
+    rs = np.random.RandomState(4)
+    feats = [
+        rs.normal(size=(56, 56, 4)).astype(np.float32),
+        rs.normal(size=(28, 28, 4)).astype(np.float32),
+        rs.normal(size=(14, 14, 4)).astype(np.float32),
+        rs.normal(size=(7, 7, 4)).astype(np.float32),
+    ]
+    rois = np.array(
+        [[10, 10, 60, 60], [0, 0, 224, 224], [0, 0, 100, 210]], dtype=np.float32
+    )
+    got = np.asarray(
+        multiscale_roi_align(tuple(jnp.asarray(f) for f in feats), jnp.asarray(rois))
+    )
+    lvls = np.asarray(fpn_level_assignment(jnp.asarray(rois)))
+    for i, lvl in enumerate(lvls):
+        want = np_roi_align(feats[lvl], rois[i : i + 1], 1.0 / (4 * 2**lvl))
+        np.testing.assert_allclose(got[i], want[0], atol=1e-4)
