@@ -110,7 +110,8 @@ def roi_pool(
         return jnp.where(empty[..., None], 0.0, binmax)
 
     out = jax.lax.map(
-        jax.vmap(one_roi), (pad(w_lo), pad(w_hi), pad(h_lo), pad(h_hi))
+        lambda args: jax.vmap(one_roi)(*args),
+        (pad(w_lo), pad(w_hi), pad(h_lo), pad(h_hi)),
     )
     out = out.reshape(pad_n, output_size, output_size, c)[:n]
     return out.astype(features.dtype)
