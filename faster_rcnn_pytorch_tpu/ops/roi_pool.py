@@ -76,9 +76,12 @@ def roi_pool(
     w_lo, w_hi = _bin_bounds(sx, ext_w, w, output_size)  # [n, 7]
     h_lo, h_hi = _bin_bounds(sy, ext_h, h, output_size)
 
-    # Static per-bin window sizes (worst case over any roi on this map).
-    k_w = -(-w // output_size) + 1
-    k_h = -(-h // output_size) + 1
+    # Static per-bin window sizes: rois must lie within the feature map
+    # (the [0,1]-normalised roi contract guarantees this), so the rounded
+    # extent is at most size+1 cells and any bin spans at most
+    # ceil((size+1)/output_size)+1 cells.
+    k_w = -(-(w + 1) // output_size) + 1
+    k_h = -(-(h + 1) // output_size) + 1
 
     neg_inf = jnp.float32(-jnp.inf)
     f32 = features.astype(jnp.float32)

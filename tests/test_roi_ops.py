@@ -123,8 +123,8 @@ def test_roi_pool_matches_torchvision_semantics():
     rs = np.random.RandomState(2)
     feat = rs.normal(size=(50, 38, 6)).astype(np.float32)
     # Reference passes rois pre-scaled to feature coords, scale=1
-    # (models/model.py:106-113).
-    rois = rand_rois(rs, 23, 38, 50)
+    # (models/model.py:106-113); rois must lie within the 50x38 (h, w) map.
+    rois = rand_rois(rs, 23, 50, 38)
     got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 1.0, roi_chunk=8))
     want = np_roi_pool(feat, rois, 1.0)
     np.testing.assert_allclose(got, want, atol=1e-5)
