@@ -31,11 +31,17 @@ Array = jax.Array
 
 
 def _bin_bounds(start: Array, extent: Array, size: Array, output_size: int):
-    """Integer bin [lo, hi) bounds per output bin, clipped to [0, size)."""
-    p = jnp.arange(output_size, dtype=jnp.float32)
-    e = extent.astype(jnp.float32)[:, None]
-    lo = jnp.floor(p[None, :] * e / output_size).astype(jnp.int32)
-    hi = jnp.ceil((p[None, :] + 1.0) * e / output_size).astype(jnp.int32)
+    """Integer bin [lo, hi) bounds per output bin, clipped to [0, size).
+
+    Computed in exact integer arithmetic: ``floor(p*e/o) == (p*e)//o`` and
+    ``ceil(x) == (x + o - 1)//o``. (Float division here is a trap: under
+    jit XLA rewrites ``x/7`` into ``x * (1/7)``, and e.g. ``3*14/7`` then
+    lands at 6.0000005 whose ceil is 7 — off-by-one bin bounds.)
+    """
+    p = jnp.arange(output_size, dtype=jnp.int32)
+    e = extent.astype(jnp.int32)[:, None]
+    lo = (p[None, :] * e) // output_size
+    hi = ((p[None, :] + 1) * e + output_size - 1) // output_size
     lo = jnp.clip(lo + start[:, None], 0, size)
     hi = jnp.clip(hi + start[:, None], 0, size)
     return lo, hi
