@@ -1,0 +1,132 @@
+"""Config / flag system (counterpart of config.py:4-49 + configs/*.txt).
+
+The reference layers configargparse: defaults < ``--config file.txt``
+< CLI flags. configargparse is not in this image, so the same layering is
+implemented on plain argparse + a tiny ``key = value`` file parser that
+reads the reference's config-file format unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class Options:
+    """All run options. Field-for-field coverage of the reference flags
+    (config.py:5-48), plus TPU-native replacements for the GPU ones."""
+
+    name: str = "frcnn"
+    # visualisation / logging
+    vis_step: int = 100
+    log_backend: str = "tensorboard"  # visdom-equivalent live plots
+    # data
+    resize: int = 800
+    mosaic_transform: bool = False
+    data_root: str = "./data"
+    data_type: str = "voc"  # voc | coco
+    num_classes: int = 21
+    num_workers: int = 4
+    batch_size: int = 1
+    max_gt: int = 100
+    # optimisation
+    epoch: int = 13
+    lr: float = 1e-3
+    warmup_epoch: int = 0
+    weight_decay: float = 5e-4
+    momentum: float = 0.9
+    start_epoch: int = 0
+    scheduler: str = "cosine"  # cosine | multistep
+    milestones: tuple = (16, 22)
+    eta_min: float = 5e-5
+    seed: int = 0
+    # checkpoints / logging
+    log_dir: str = "./logs"
+    test_epoch: str = "best"
+    # inference
+    thres: float = 0.05
+    demo_root: str = "./demo"
+    demo_image_type: str = "jpg"
+    demo_vis: bool = True
+    # model
+    model_generation: str = "legacy"  # legacy | fpn
+    pretrained_backbone: str = ""  # path to converted backbone params
+    checkpoint: str = ""  # resume / eval checkpoint path
+    # parallelism (replaces gpu_ids/rank/world_size/distributed,
+    # config.py:44-48: one data axis over the ICI mesh)
+    num_devices: int = 0  # 0 = all local devices
+    host_id: int = 0
+    num_hosts: int = 1
+    coordinator: str = ""  # multi-host jax.distributed coordinator addr
+    # numerics
+    dtype: str = "bfloat16"
+
+
+def parse_config_file(path: str) -> dict[str, str]:
+    """Parse the reference's ``key = value`` .txt config format."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = line.split("=", 1)
+            elif ":" in line:
+                key, val = line.split(":", 1)
+            else:
+                continue
+            out[key.strip().lstrip("-")] = val.strip()
+    return out
+
+
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+
+
+def _coerce(value: str, field_type: Any):
+    if field_type is bool:
+        return value.lower() in _BOOL_TRUE
+    if field_type is tuple:
+        return tuple(int(v) for v in value.strip("[]() ").split(",") if v)
+    try:
+        return field_type(value)
+    except (TypeError, ValueError):
+        return value
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("faster_rcnn_pytorch_tpu")
+    parser.add_argument("--config", type=str, default="", help="key=value .txt file")
+    for f in dataclasses.fields(Options):
+        flag = f"--{f.name}"
+        if f.type is bool or f.type == "bool":
+            parser.add_argument(flag, type=str, default=None)
+        else:
+            parser.add_argument(flag, type=str, default=None)
+    return parser
+
+
+def load_options(argv: list[str] | None = None) -> Options:
+    """defaults < config file < CLI, like configargparse (config.py:7)."""
+    args = get_args_parser().parse_args(argv)
+    opts = Options()
+    fields = {f.name: f for f in dataclasses.fields(Options)}
+    if args.config:
+        for k, v in parse_config_file(args.config).items():
+            if k in fields:
+                setattr(opts, k, _coerce(v, _runtime_type(fields[k])))
+    for k, f in fields.items():
+        v = getattr(args, k, None)
+        if v is not None:
+            setattr(opts, k, _coerce(v, _runtime_type(f)))
+    return opts
+
+
+def _runtime_type(field) -> Any:
+    if isinstance(field.type, str):
+        return {"str": str, "int": int, "float": float, "bool": bool, "tuple": tuple}.get(
+            field.type, str
+        )
+    return field.type

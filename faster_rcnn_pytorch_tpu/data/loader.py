@@ -1,0 +1,318 @@
+"""Padded-canvas batch loader with threaded host prefetch.
+
+Replaces the reference's torch ``DataLoader`` + collate stack
+(datasets/build.py:8-150, new_datasets/coco_dataset.py:37-66) with a
+TPU-first design:
+
+* **static canvas buckets** — every batch is padded onto one of two
+  fixed canvases (landscape ``base x max`` or portrait ``max x base``,
+  /16-aligned), so XLA compiles exactly two shapes instead of one per
+  image size. Batches are drawn within an orientation group
+  ("aspect-ratio grouping"), generalising the reference's pad-to-/32
+  collate which still produced per-batch dynamic shapes,
+* boxes are emitted normalised to **canvas** [0,1] with the true image
+  extent ``(w_frac, h_frac)`` carried alongside (the reference normalises
+  to the image, datasets/transforms_.py:307-316; extent == (1,1) is that
+  special case),
+* gt padded to ``max_gt`` slots with a validity mask,
+* worker threads decode/augment ahead of the device step (the role torch
+  DataLoader's C++ worker pool plays in the reference); an optional
+  native decode hook can be installed via
+  :func:`set_image_loader`.
+
+Distributed data parallelism: pass ``shard_id`` / ``num_shards`` to give
+each host a disjoint slice per epoch — the DistributedSampler equivalent
+(datasets/build.py:90-98).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+from PIL import Image
+
+from faster_rcnn_pytorch_tpu.data.mosaic import load_mosaic
+from faster_rcnn_pytorch_tpu.data.transforms import normalize
+from faster_rcnn_pytorch_tpu.data.voc import Record
+
+_image_loader: Callable[[str], np.ndarray] | None = None
+
+
+def set_image_loader(fn: Callable[[str], np.ndarray] | None) -> None:
+    """Install a custom (e.g. native) path -> uint8 HWC RGB decoder."""
+    global _image_loader
+    _image_loader = fn
+
+
+def load_image(path: str) -> np.ndarray:
+    if _image_loader is not None:
+        return _image_loader(path)
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class DetectionLoader:
+    """Iterates fixed-shape batches over a list of :class:`Record`."""
+
+    def __init__(
+        self,
+        records: Sequence[Record],
+        transform,
+        batch_size: int = 1,
+        size: int = 800,
+        max_size: int = 1333,
+        max_gt: int = 100,
+        shuffle: bool = True,
+        mosaic_prob: float = 0.0,
+        num_workers: int = 4,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = True,
+        seed: int = 0,
+        align: int = 16,
+    ):
+        self.records = list(records)
+        self.transform = transform
+        self.batch_size = batch_size
+        self.size = size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.mosaic_prob = mosaic_prob
+        self.num_workers = num_workers
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.drop_last = drop_last
+        self.seed = seed
+        # Two static canvases: landscape and portrait.
+        base = _round_up(size, align)
+        cap = _round_up(max_size, align)
+        self.canvas_land = (base, cap)  # (h, w)
+        self.canvas_port = (cap, base)
+
+    def __len__(self):
+        n = len(self._shard_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    # ---------------------------------------------------------- internals
+
+    def _shard_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + epoch)
+            rs.shuffle(idx)
+        return idx[self.shard_id :: self.num_shards]
+
+    def _prepare_one(self, rec: Record, rng: np.random.RandomState):
+        image = load_image(rec.image_path)
+        boxes, labels = rec.boxes, rec.labels
+        if self.mosaic_prob and rng.rand() < self.mosaic_prob:
+            others = [
+                self.records[rng.randint(len(self.records))] for _ in range(3)
+            ]
+            items = [(image, boxes, labels)] + [
+                (load_image(o.image_path), o.boxes, o.labels) for o in others
+            ]
+            image, boxes, labels = load_mosaic(items, self.size, rng)
+        image, boxes, labels = self.transform(image, boxes, labels, rng)
+        return image, boxes, labels
+
+    def _to_canvas(self, image, boxes, labels, rec: Record, landscape: bool):
+        h, w = image.shape[:2]
+        canvas_h, canvas_w = self.canvas_land if landscape else self.canvas_port
+        # Safety clamp (transform guarantees <= canvas for default sizes).
+        if h > canvas_h or w > canvas_w:
+            scale = min(canvas_h / h, canvas_w / w)
+            image, boxes = _rescale(image, boxes, scale)
+            h, w = image.shape[:2]
+        out = np.zeros((canvas_h, canvas_w, 3), np.float32)
+        out[:h, :w] = normalize(image)
+        g = self.max_gt
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_labels = np.zeros((g,), np.int32)
+        gt_mask = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        if n:
+            norm = np.array(
+                [canvas_w, canvas_h, canvas_w, canvas_h], np.float32
+            )
+            gt_boxes[:n] = boxes[:n] / norm
+            gt_labels[:n] = labels[:n]
+            gt_mask[:n] = True
+        return {
+            "image": out,
+            "extent": np.array([w / canvas_w, h / canvas_h], np.float32),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_mask": gt_mask,
+            "image_id": np.int64(rec.image_id),
+            "orig_hw": np.array([rec.height, rec.width], np.int32),
+            "resized_hw": np.array([h, w], np.int32),
+        }
+
+    def _batches_for_epoch(self, epoch: int):
+        """Group by orientation, then emit batch index lists."""
+        idx = self._shard_indices(epoch)
+        land, port = [], []
+        for i in idx:
+            r = self.records[i]
+            (land if r.width >= r.height else port).append(i)
+        rs = np.random.RandomState(self.seed * 7919 + epoch)
+        batches = []
+        for group, is_land in ((land, True), (port, False)):
+            for s in range(0, len(group), self.batch_size):
+                b = group[s : s + self.batch_size]
+                if len(b) < self.batch_size:
+                    if self.drop_last or not b:
+                        continue
+                    b = b + group[: self.batch_size - len(b)]
+                batches.append((b, is_land))
+        if self.shuffle:
+            rs.shuffle(batches)
+        return batches
+
+    def _make_batch(self, batch_spec, epoch):
+        members, landscape = batch_spec
+        items = []
+        for i in members:
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+            )
+            rec = self.records[i]
+            image, boxes, labels = self._prepare_one(rec, rng)
+            items.append(self._to_canvas(image, boxes, labels, rec, landscape))
+        # One canvas per batch -> identical shapes by construction.
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    # ------------------------------------------------------------- public
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield batches with background worker prefetch."""
+        batches = self._batches_for_epoch(epoch)
+        if not batches:
+            return
+        if self.num_workers <= 0:
+            for members in batches:
+                yield self._make_batch(members, epoch)
+            return
+
+        out_q: queue.Queue = queue.Queue(maxsize=2 * self.num_workers)
+        task_q: queue.Queue = queue.Queue()
+        for pos, members in enumerate(batches):
+            task_q.put((pos, members))
+
+        def worker():
+            while True:
+                try:
+                    pos, members = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    out_q.put((pos, self._make_batch(members, epoch)))
+                except Exception as e:  # surface worker errors to consumer
+                    out_q.put((pos, e))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        # Re-order to deterministic sequence.
+        pending: dict[int, dict] = {}
+        next_pos = 0
+        received = 0
+        while received < len(batches):
+            pos, batch = out_q.get()
+            if isinstance(batch, Exception):
+                raise batch
+            pending[pos] = batch
+            received += 1
+            while next_pos in pending:
+                yield pending.pop(next_pos)
+                next_pos += 1
+        while next_pos in pending:
+            yield pending.pop(next_pos)
+            next_pos += 1
+
+
+def _rescale(image, boxes, scale):
+    h, w = image.shape[:2]
+    nw, nh = int(w * scale), int(h * scale)
+    im = np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+    if len(boxes):
+        boxes = boxes * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return im, boxes
+
+
+def build_dataloader(opts) -> tuple[DetectionLoader, DetectionLoader]:
+    """Config -> (train_loader, test_loader); counterpart of
+    datasets/build.py:8 / new_datasets/build.py:9. ``opts`` is a
+    :class:`..config.Options`."""
+    from faster_rcnn_pytorch_tpu.data.transforms import (
+        EvalTransform,
+        TrainAugment,
+    )
+
+    if opts.data_type == "voc":
+        from faster_rcnn_pytorch_tpu.data.voc import load_voc_records
+
+        train_recs = load_voc_records(opts.data_root, "trainval")
+        test_recs = load_voc_records(opts.data_root, "test")
+        opts.num_classes = 21
+    elif opts.data_type == "coco":
+        import os
+
+        from faster_rcnn_pytorch_tpu.data.coco import load_coco_records
+
+        ann = os.path.join(opts.data_root, "annotations")
+        train_recs, _ = load_coco_records(
+            os.path.join(opts.data_root, "train2017"),
+            os.path.join(ann, "instances_train2017.json"),
+            contiguous=opts.model_generation == "legacy",
+        )
+        test_recs, _ = load_coco_records(
+            os.path.join(opts.data_root, "val2017"),
+            os.path.join(ann, "instances_val2017.json"),
+            contiguous=opts.model_generation == "legacy",
+        )
+        opts.num_classes = 81 if opts.model_generation == "legacy" else 91
+    else:
+        raise ValueError(f"unknown data_type {opts.data_type!r}")
+
+    train_tf = TrainAugment(size=opts.resize)
+    test_tf = EvalTransform(size=opts.resize)
+    per_host_batch = max(opts.batch_size // opts.num_hosts, 1)
+    train = DetectionLoader(
+        train_recs,
+        train_tf,
+        batch_size=per_host_batch,
+        size=opts.resize,
+        shuffle=True,
+        mosaic_prob=0.5 if opts.mosaic_transform else 0.0,
+        num_workers=opts.num_workers,
+        shard_id=opts.host_id,
+        num_shards=opts.num_hosts,
+        seed=opts.seed,
+    )
+    test = DetectionLoader(
+        test_recs,
+        test_tf,
+        batch_size=1,
+        size=opts.resize,
+        shuffle=False,
+        num_workers=opts.num_workers,
+        shard_id=opts.host_id,
+        num_shards=opts.num_hosts,
+        drop_last=False,
+        seed=opts.seed,
+    )
+    return train, test
