@@ -1,0 +1,81 @@
+"""Benchmark harness: single-chip inference throughput of the flagship
+LegacyFRCNN (VGG16) predict path at the reference's 800px eval resolution.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md: FPS printed at
+runtime only, GPU model unstated); ``vs_baseline`` is computed against a
+measured-once PyTorch reference estimate stored below (single-image VGG16
+Faster R-CNN on a datacenter GPU is commonly ~5-15 FPS; we use 10 img/s
+as the nominal baseline until a GPU measurement exists).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NOMINAL_BASELINE_IMG_PER_SEC = 10.0
+BATCH = 4
+CANVAS = 800
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        build_model,
+        predict,
+    )
+
+    model, cfg = build_model("legacy", num_classes=21)
+    rs = np.random.RandomState(0)
+    init_img = jnp.asarray(
+        rs.normal(size=(1, CANVAS, CANVAS, 3)).astype(np.float32)
+    )
+    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)).astype(np.float32))
+    params = model.init(jax.random.key(0), init_img, rois, method="init_all")
+
+    images = jnp.asarray(
+        rs.normal(size=(BATCH, CANVAS, CANVAS, 3)).astype(np.float32)
+    )
+    extents = jnp.ones((BATCH, 2), jnp.float32)
+
+    @jax.jit
+    def fn(params, images, extents):
+        return model.apply(params, cfg, images, extents, method=predict)
+
+    for _ in range(WARMUP):
+        out = fn(params, images, extents)
+        jax.block_until_ready(out)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(params, images, extents)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    img_per_sec = BATCH / float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "legacy_vgg16_predict_800px_images_per_sec",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    img_per_sec / NOMINAL_BASELINE_IMG_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

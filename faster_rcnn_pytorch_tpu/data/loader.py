@@ -95,6 +95,7 @@ class DetectionLoader:
         cap = _round_up(max_size, align)
         self.canvas_land = (base, cap)  # (h, w)
         self.canvas_port = (cap, base)
+        self.records_by_id = {r.image_id: r for r in self.records}
 
     def __len__(self):
         n = len(self._shard_indices(0))

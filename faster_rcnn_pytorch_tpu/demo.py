@@ -1,0 +1,57 @@
+"""Standalone demo CLI (counterpart of demo.py:141-173 ``demo_worker``).
+
+``python -m faster_rcnn_pytorch_tpu.demo --config configs/voc_train.txt \
+      --demo_root ./demo --thres 0.5``
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.config import load_options
+from faster_rcnn_pytorch_tpu.engine.demo import demo
+from faster_rcnn_pytorch_tpu.main import init_params
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+)
+from faster_rcnn_pytorch_tpu.utils.logging import print0
+
+
+def main(argv=None) -> int:
+    opts = load_options(argv)
+    # num_classes by data type (demo.py:150-153).
+    if opts.data_type == "voc":
+        opts.num_classes = 21
+    elif opts.model_generation == "legacy":
+        opts.num_classes = 81
+    else:
+        opts.num_classes = 91
+    dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
+    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+    params = init_params(model, opts)
+    if not opts.checkpoint:
+        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
+        try:
+            from faster_rcnn_pytorch_tpu.parallel.train_step import (
+                init_train_state,
+                make_lr_schedule,
+                make_optimizer,
+            )
+
+            sched = make_lr_schedule("constant", opts.lr, 1, 1)
+            opt = make_optimizer(params, sched)
+            state, _ = load_checkpoint(path, init_train_state(params, opt))
+            params = state.params
+            print0(f"loaded {path}")
+        except FileNotFoundError:
+            print0("no checkpoint found; demo with current params")
+    demo(model, cfg, params, opts)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Evaluation loop (counterpart of test.py:13-164 ``test_and_eval``).
+
+Per image: jitted ``predict`` on the padded canvas -> fixed [max_det]
+detections -> rescale from canvas-normalised to original pixel coords ->
+feed the COCO-protocol or VOC evaluator. One device->host transfer per
+batch; the per-class NMS already ran on device (unlike the reference's
+CPU/GPU ping-pong per class, models/model.py:382-402).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import numpy as np
+
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
+from faster_rcnn_pytorch_tpu.utils.logging import print0
+
+
+def _jitted_predict(model, cfg):
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(params, images, extents):
+        return model.apply(params, cfg, images, extents, method=predict)
+
+    return fn
+
+
+def detections_to_original_coords(det, batch, i):
+    """Canvas-normalised detections -> original-image pixel xyxy."""
+    valid = np.asarray(det.valid[i])
+    boxes = np.asarray(det.boxes[i])[valid]
+    labels = np.asarray(det.labels[i])[valid]
+    scores = np.asarray(det.scores[i])[valid]
+    canvas_h, canvas_w = batch["image"].shape[1:3]
+    rh, rw = batch["resized_hw"][i]
+    oh, ow = batch["orig_hw"][i]
+    # canvas [0,1] -> resized px -> original px (test.py:68-71 rescales by
+    # the stored true size).
+    scale = np.array(
+        [canvas_w * ow / rw, canvas_h * oh / rh] * 2, np.float32
+    )
+    return boxes * scale, labels, scores
+
+
+def evaluate(
+    model,
+    cfg,
+    params,
+    loader,
+    data_type: str = "voc",
+    coco_index=None,
+    label_map=None,
+    score_threshold: float | None = None,
+    max_images: int | None = None,
+) -> dict:
+    """Run the full eval pass; returns {"map": ..., "stats": ...}.
+
+    Args:
+      label_map: callable mapping model 0-based foreground label ->
+        dataset category id. Defaults: identity (voc), contiguous->cat
+        (coco legacy) must be supplied by the caller.
+    """
+    predict_fn = _jitted_predict(model, cfg)
+    label_map = label_map or (lambda x: x)
+
+    predictions: dict[int, dict] = {}
+    gts: dict[int, dict] = {}
+    t0 = time.time()
+    n_img = 0
+    for batch in loader.epoch(0):
+        det = predict_fn(
+            params, batch["image"], batch["extent"].astype(np.float32)
+        )
+        for i in range(batch["image"].shape[0]):
+            boxes, labels, scores = detections_to_original_coords(det, batch, i)
+            img_id = int(batch["image_id"][i])
+            predictions[img_id] = {
+                "boxes": boxes,
+                "labels": np.array([label_map(int(l)) for l in labels]),
+                "scores": scores,
+            }
+            if data_type == "voc":
+                rec = loader.records_by_id[img_id]
+                gts[img_id] = {
+                    "boxes": rec.boxes,
+                    "labels": rec.labels,
+                    "difficult": rec.difficult,
+                }
+            n_img += 1
+        if max_images and n_img >= max_images:
+            break
+    infer_time = time.time() - t0
+    print0(
+        f"eval inference: {n_img} images in {infer_time:.1f}s "
+        f"({n_img / max(infer_time, 1e-9):.2f} img/s)"
+    )
+
+    if data_type == "voc":
+        from faster_rcnn_pytorch_tpu.data.voc import VOC_CLASSES
+        from faster_rcnn_pytorch_tpu.evaluation.voc_eval import voc_eval
+
+        out = voc_eval(
+            predictions,
+            gts,
+            num_classes=len(VOC_CLASSES),
+            class_names=VOC_CLASSES,
+        )
+        return {"map": out["map"], "stats": out}
+
+    from faster_rcnn_pytorch_tpu.evaluation.coco_eval import CocoEvaluator
+
+    evaluator = CocoEvaluator(coco_index)
+    evaluator.update(predictions)
+    evaluator.synchronize_between_processes()
+    evaluator.accumulate()
+    stats = evaluator.summarize()
+    evaluator.print_summary()
+    return {"map": float(stats[0]), "stats": stats}

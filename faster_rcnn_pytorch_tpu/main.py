@@ -1,0 +1,158 @@
+"""Entry point (counterpart of main.py:30-123 ``main_worker``).
+
+``python -m faster_rcnn_pytorch_tpu.main --config configs/voc_train.txt``
+
+Orchestration: options -> (optional) multi-host init -> loaders -> model +
+params (fresh init / backbone import / resume) -> optimizer + schedule ->
+epoch loop (train_one_epoch, then eval with best-checkpoint tracking —
+the loop the reference clearly intends at main.py:83-102).
+
+Where the reference spawns one process per GPU (mp.spawn, main.py:117),
+here a single process drives all local devices through one SPMD program;
+multiple *hosts* each run this entry with ``--coordinator`` set.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_pytorch_tpu.config import Options, load_options
+from faster_rcnn_pytorch_tpu.data.loader import build_dataloader
+from faster_rcnn_pytorch_tpu.engine.evaluate import evaluate
+from faster_rcnn_pytorch_tpu.engine.train import train_one_epoch
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.parallel.mesh import (
+    initialize_multihost,
+    make_mesh,
+    replicate,
+)
+from faster_rcnn_pytorch_tpu.parallel.train_step import (
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+    load_torch_state_dict,
+    import_fpn_torch_params,
+    import_legacy_torch_params,
+    save_checkpoint,
+)
+from faster_rcnn_pytorch_tpu.utils.logging import ScalarWriter, is_main, print0
+
+
+def init_params(model, opts: Options):
+    """Fresh init (or torch-checkpoint import when ``checkpoint`` points
+    at a ``.pth.tar``)."""
+    if opts.checkpoint.endswith((".pth.tar", ".pth")):
+        sd = load_torch_state_dict(opts.checkpoint)
+        importer = (
+            import_legacy_torch_params
+            if opts.model_generation == "legacy"
+            else import_fpn_torch_params
+        )
+        return importer(sd, opts.num_classes)
+    rs = np.random.RandomState(opts.seed)
+    canvas = 256
+    images = jnp.asarray(rs.normal(size=(1, canvas, canvas, 3)), jnp.float32)
+    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)), jnp.float32)
+    return model.init(jax.random.key(opts.seed), images, rois, method="init_all")
+
+
+def label_map_for(opts: Options, coco_index):
+    if opts.data_type == "voc":
+        return lambda l: l
+    if opts.model_generation == "legacy":
+        return lambda l: coco_index.contiguous_to_cat[l]
+    return lambda l: l + 1  # fpn softmax index == raw COCO id
+
+
+def main(argv=None) -> int:
+    opts = load_options(argv)
+    if opts.coordinator:
+        initialize_multihost(opts.coordinator, opts.num_hosts, opts.host_id)
+    opts.host_id = jax.process_index()
+    opts.num_hosts = jax.process_count()
+
+    mesh = make_mesh(opts.num_devices)
+    print0(f"devices: {mesh.devices.size}, hosts: {opts.num_hosts}")
+
+    train_loader, test_loader = build_dataloader(opts)
+    dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
+    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+
+    coco_index = None
+    if opts.data_type == "coco":
+        import os
+
+        from faster_rcnn_pytorch_tpu.data.coco import CocoIndex
+
+        coco_index = CocoIndex(
+            os.path.join(opts.data_root, "annotations", "instances_val2017.json")
+        )
+
+    params = init_params(model, opts)
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = make_lr_schedule(
+        opts.scheduler,
+        opts.lr,
+        opts.epoch,
+        steps_per_epoch,
+        milestones=tuple(opts.milestones),
+        eta_min=opts.eta_min,
+        warmup_epochs=opts.warmup_epoch,
+    )
+    optimizer = make_optimizer(
+        params, schedule, momentum=opts.momentum, weight_decay=opts.weight_decay
+    )
+    state = init_train_state(params, optimizer)
+
+    if opts.start_epoch > 0:  # resume (utils/util.py:142-155)
+        path = checkpoint_path(opts.log_dir, opts.name, opts.start_epoch - 1)
+        state, meta = load_checkpoint(path, state)
+        print0(f"resumed from {path} (epoch {meta.get('epoch')})")
+    elif opts.checkpoint.endswith(".ckpt"):
+        state, _ = load_checkpoint(opts.checkpoint, state)
+        print0(f"loaded checkpoint {opts.checkpoint}")
+
+    state = replicate(state, mesh)
+    step_fn = make_train_step(model, cfg, optimizer, mesh)
+    writer = ScalarWriter(opts.log_dir, opts.name, opts.log_backend)
+    label_map = label_map_for(opts, coco_index)
+
+    best_map = -1.0
+    for epoch in range(opts.start_epoch, opts.epoch):
+        state = train_one_epoch(
+            state, step_fn, train_loader, mesh, epoch, opts, schedule, writer
+        )
+        result = evaluate(
+            model,
+            cfg,
+            state.params,
+            test_loader,
+            data_type=opts.data_type,
+            coco_index=coco_index,
+            label_map=label_map,
+            score_threshold=opts.thres,
+        )
+        writer.scalar("eval/mAP", result["map"], epoch)
+        print0(f"epoch {epoch}: mAP = {result['map']:.4f}")
+        if is_main() and result["map"] > best_map:
+            best_map = result["map"]
+            save_checkpoint(
+                checkpoint_path(opts.log_dir, opts.name, "best"),
+                state,
+                metadata={"epoch": epoch, "map": best_map},
+            )
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Standalone evaluation CLI (counterpart of test.py:172-212
+``test_worker``): load a checkpoint (an epoch number, 'best', or a torch
+.pth.tar for parity evaluation) and run the full eval protocol.
+
+``python -m faster_rcnn_pytorch_tpu.test --config configs/voc_train.txt \
+      --test_epoch best``
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.config import load_options
+from faster_rcnn_pytorch_tpu.data.loader import build_dataloader
+from faster_rcnn_pytorch_tpu.engine.evaluate import evaluate
+from faster_rcnn_pytorch_tpu.main import init_params, label_map_for
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+)
+from faster_rcnn_pytorch_tpu.utils.logging import print0
+
+
+def main(argv=None) -> int:
+    opts = load_options(argv)
+    _, test_loader = build_dataloader(opts)
+    dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
+    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+
+    params = init_params(model, opts)
+    if not opts.checkpoint:
+        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
+        try:
+            from faster_rcnn_pytorch_tpu.parallel.train_step import (
+                init_train_state,
+                make_lr_schedule,
+                make_optimizer,
+            )
+
+            sched = make_lr_schedule("constant", opts.lr, 1, 1)
+            opt = make_optimizer(params, sched)
+            state, meta = load_checkpoint(path, init_train_state(params, opt))
+            params = state.params
+            print0(f"loaded {path} (epoch {meta.get('epoch')})")
+        except FileNotFoundError:
+            print0(f"no checkpoint at {path}; evaluating current params")
+
+    coco_index = None
+    if opts.data_type == "coco":
+        import os
+
+        from faster_rcnn_pytorch_tpu.data.coco import CocoIndex
+
+        coco_index = CocoIndex(
+            os.path.join(opts.data_root, "annotations", "instances_val2017.json")
+        )
+
+    result = evaluate(
+        model,
+        cfg,
+        params,
+        test_loader,
+        data_type=opts.data_type,
+        coco_index=coco_index,
+        label_map=label_map_for(opts, coco_index),
+        score_threshold=opts.thres,
+    )
+    print0(f"mAP = {result['map']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,219 @@
+"""Checkpoint save / resume + one-way PyTorch checkpoint importer.
+
+Counterpart of the reference checkpoint flow (SURVEY.md §2.30): per-epoch
+``{epoch, model, optimizer, scheduler}`` dicts at
+``{log_dir}/{name}/saves/{name}.{epoch}.pth.tar`` (train.py:80-85), a
+best-by-mAP copy (test.py:155-163) and resume from ``start_epoch - 1``
+(utils/util.py:142-155). Here the state is a flax/optax pytree serialised
+with ``flax.serialization`` (msgpack); naming mirrors the reference with
+a ``.ckpt`` suffix.
+
+The importer converts released ``.pth.tar`` torch checkpoints into this
+framework's parameter trees so published weights can be evaluated for
+parity (BASELINE.md north star). Layout conversions handled:
+
+* conv kernels OIHW -> HWIO,
+* linear weights [out, in] -> [in, out],
+* the first RoI-head FC consumes a flattened 7x7 pool: torch flattens
+  channel-major (C, 7, 7), NHWC flattens (7, 7, C) — the input dimension
+  is permuted accordingly,
+* ``module.`` DataParallel prefixes stripped (models/model_.py:308-311),
+* the legacy checkpoint stores the shared classifier twice (aliased as
+  ``classifier.*`` and ``fast_rcnn_head.classifier.*``,
+  models/model.py:282-298) — both map to the single fc6/fc7 here.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import numpy as np
+
+import flax.serialization
+
+
+def save_checkpoint(path: str, state: Any, metadata: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "state": flax.serialization.to_bytes(state),
+        "metadata": metadata or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template: Any) -> tuple[Any, dict]:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = flax.serialization.from_bytes(template, payload["state"])
+    return state, payload.get("metadata", {})
+
+
+def checkpoint_path(log_dir: str, name: str, epoch: int | str) -> str:
+    """Reference naming scheme: ``{log}/{name}/saves/{name}.{epoch}``."""
+    return os.path.join(log_dir, name, "saves", f"{name}.{epoch}.ckpt")
+
+
+# --------------------------------------------------------------- importer
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+
+
+def _conv(w) -> np.ndarray:  # OIHW -> HWIO
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _linear(w) -> np.ndarray:  # [out, in] -> [in, out]
+    return _t(w).transpose(1, 0)
+
+
+def _linear_from_pool(w, ch: int, pool: int = 7) -> np.ndarray:
+    """Torch FC over a flattened (C, p, p) pool -> ours over (p, p, C)."""
+    out_dim = w.shape[0]
+    w = _t(w).reshape(out_dim, ch, pool, pool)
+    w = w.transpose(2, 3, 1, 0)  # (p, p, C, out)
+    return w.reshape(pool * pool * ch, out_dim)
+
+
+def _strip_module(sd: dict) -> dict:
+    return {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch.load a .pth.tar and return the raw model state dict."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+    return _strip_module({k: v.numpy() for k, v in sd.items()})
+
+
+def import_legacy_torch_params(sd: dict, num_classes: int) -> dict:
+    """Torch legacy-FRCNN state dict -> LegacyFRCNN flax params.
+
+    Torch layout (models/model.py:275-298): ``extractor.{i}`` VGG convs,
+    ``rpn.{inter,cls,reg}_layer``, ``classifier.{0,2}`` shared FCs,
+    ``fast_rcnn_head.{cls_head,reg_head}``.
+    """
+    from faster_rcnn_pytorch_tpu.models.vgg import TORCH_VGG16_CONV_INDICES
+
+    p: dict[str, Any] = {}
+    extractor = {}
+    for k, torch_idx in enumerate(TORCH_VGG16_CONV_INDICES):
+        extractor[f"conv{k}"] = {
+            "kernel": _conv(sd[f"extractor.{torch_idx}.weight"]),
+            "bias": _t(sd[f"extractor.{torch_idx}.bias"]),
+        }
+    p["extractor"] = extractor
+    p["rpn"] = {
+        "inter": {
+            "kernel": _conv(sd["rpn.inter_layer.weight"]),
+            "bias": _t(sd["rpn.inter_layer.bias"]),
+        },
+        "cls": {
+            "kernel": _conv(sd["rpn.cls_layer.weight"]),
+            "bias": _t(sd["rpn.cls_layer.bias"]),
+        },
+        "reg": {
+            "kernel": _conv(sd["rpn.reg_layer.weight"]),
+            "bias": _t(sd["rpn.reg_layer.bias"]),
+        },
+    }
+    p["fc6"] = {
+        "kernel": _linear_from_pool(sd["classifier.0.weight"], ch=512),
+        "bias": _t(sd["classifier.0.bias"]),
+    }
+    p["fc7"] = {
+        "kernel": _linear(sd["classifier.2.weight"]),
+        "bias": _t(sd["classifier.2.bias"]),
+    }
+    cls_w = sd["fast_rcnn_head.cls_head.weight"]
+    reg_w = sd["fast_rcnn_head.reg_head.weight"]
+    assert cls_w.shape[0] == num_classes, (cls_w.shape, num_classes)
+    p["cls_head"] = {
+        "kernel": _linear(cls_w),
+        "bias": _t(sd["fast_rcnn_head.cls_head.bias"]),
+    }
+    p["reg_head"] = {
+        "kernel": _linear(reg_w),
+        "bias": _t(sd["fast_rcnn_head.reg_head.bias"]),
+    }
+    return {"params": p}
+
+
+def _bn(sd: dict, prefix: str) -> dict:
+    return {
+        "scale": _t(sd[f"{prefix}.weight"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+        "mean": _t(sd[f"{prefix}.running_mean"]),
+        "var": _t(sd[f"{prefix}.running_var"]),
+    }
+
+
+def import_fpn_torch_params(sd: dict, num_classes: int) -> dict:
+    """Torch FPN-FRCNN state dict (models/new_model.py:365-385 layout,
+    torchvision resnet_fpn_backbone naming) -> FPNFRCNN flax params."""
+    body: dict[str, Any] = {
+        "conv1": {"kernel": _conv(sd["backbone.body.conv1.weight"])},
+        "bn1": _bn(sd, "backbone.body.bn1"),
+    }
+    stage_blocks = (3, 4, 6, 3)
+    for stage, blocks in enumerate(stage_blocks):
+        for b in range(blocks):
+            t = f"backbone.body.layer{stage + 1}.{b}"
+            blk = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.conv{ci}.weight"])}
+                blk[f"bn{ci}"] = _bn(sd, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["down_conv"] = {"kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                blk["down_bn"] = _bn(sd, f"{t}.downsample.1")
+            body[f"layer{stage + 1}_{b}"] = blk
+    fpn = {}
+    for i in range(4):
+        fpn[f"lateral{i}"] = {
+            "kernel": _conv(sd[f"backbone.fpn.inner_blocks.{i}.0.weight"]),
+            "bias": _t(sd[f"backbone.fpn.inner_blocks.{i}.0.bias"]),
+        }
+        fpn[f"output{i}"] = {
+            "kernel": _conv(sd[f"backbone.fpn.layer_blocks.{i}.0.weight"]),
+            "bias": _t(sd[f"backbone.fpn.layer_blocks.{i}.0.bias"]),
+        }
+    p: dict[str, Any] = {"backbone": {"body": body, "fpn": fpn}}
+    p["rpn"] = {
+        "inter": {
+            "kernel": _conv(sd["rpn.rpn_head.inter_layer.weight"]),
+            "bias": _t(sd["rpn.rpn_head.inter_layer.bias"]),
+        },
+        "cls": {
+            "kernel": _conv(sd["rpn.rpn_head.cls_layer.weight"]),
+            "bias": _t(sd["rpn.rpn_head.cls_layer.bias"]),
+        },
+        "reg": {
+            "kernel": _conv(sd["rpn.rpn_head.reg_layer.weight"]),
+            "bias": _t(sd["rpn.rpn_head.reg_layer.bias"]),
+        },
+    }
+    p["fc6"] = {
+        "kernel": _linear_from_pool(sd["classifier.0.weight"], ch=256),
+        "bias": _t(sd["classifier.0.bias"]),
+    }
+    p["fc7"] = {
+        "kernel": _linear(sd["classifier.2.weight"]),
+        "bias": _t(sd["classifier.2.bias"]),
+    }
+    p["cls_head"] = {
+        "kernel": _linear(sd["frcnn_head.cls_head.weight"]),
+        "bias": _t(sd["frcnn_head.cls_head.bias"]),
+    }
+    p["reg_head"] = {
+        "kernel": _linear(sd["frcnn_head.reg_head.weight"]),
+        "bias": _t(sd["frcnn_head.reg_head.bias"]),
+    }
+    return {"params": p}

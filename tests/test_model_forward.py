@@ -45,7 +45,9 @@ SMALL_FPN = dataclasses.replace(
 
 def make_batch(rs, b=2, g=5):
     images = rs.normal(size=(b, CANVAS, CANVAS, 3)).astype(np.float32)
-    extents = np.array([[1.0, 1.0], [0.8, 0.9]], dtype=np.float32)[:b]
+    extents = np.tile(
+        np.array([[1.0, 1.0], [0.8, 0.9]], dtype=np.float32), (-(-b // 2), 1)
+    )[:b]
     xy1 = rs.uniform(0, 0.5, size=(b, g, 2))
     wh = rs.uniform(0.1, 0.4, size=(b, g, 2))
     boxes = np.concatenate([xy1, np.minimum(xy1 + wh, 0.99)], -1).astype(
