@@ -1,0 +1,51 @@
+"""Pallas kernels vs their lax twins (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.ops.boxes import jaccard_iou, box_iou
+from faster_rcnn_pytorch_tpu.ops.pallas.iou_kernel import pairwise_iou_pallas
+from faster_rcnn_pytorch_tpu.ops.pallas.roi_pool_kernel import roi_pool_pallas
+from faster_rcnn_pytorch_tpu.ops.roi_pool import roi_pool
+from tests.conftest import boxes_fixture
+from tests.test_roi_ops import rand_rois
+
+
+def test_iou_kernel_matches_jaccard():
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(boxes_fixture(rs, 300))
+    b = jnp.asarray(boxes_fixture(rs, 70))
+    got = np.asarray(pairwise_iou_pallas(a, b, block_n=64, block_m=128, interpret=True))
+    want = np.asarray(jaccard_iou(a, b))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_iou_kernel_eps0_matches_box_iou():
+    rs = np.random.RandomState(1)
+    a = jnp.asarray(boxes_fixture(rs, 100))
+    b = jnp.asarray(boxes_fixture(rs, 100))
+    got = np.asarray(
+        pairwise_iou_pallas(a, b, eps=0.0, block_n=64, block_m=128, interpret=True)
+    )
+    want = np.asarray(box_iou(a, b)[0])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_roi_pool_kernel_matches_lax():
+    rs = np.random.RandomState(2)
+    feat = jnp.asarray(rs.normal(size=(25, 19, 128)).astype(np.float32))
+    rois = jnp.asarray(rand_rois(rs, 9, 25, 19))
+    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, interpret=True))
+    want = np.asarray(roi_pool(feat, rois, 1.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_roi_pool_kernel_degenerate_rois():
+    rs = np.random.RandomState(3)
+    feat = jnp.asarray(rs.normal(size=(16, 16, 128)).astype(np.float32))
+    rois = jnp.asarray(
+        np.array([[0, 0, 0.3, 0.3], [15.7, 15.7, 16, 16], [0, 0, 16, 16]], np.float32)
+    )
+    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, interpret=True))
+    want = np.asarray(roi_pool(feat, rois, 1.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
