@@ -34,13 +34,11 @@ def main() -> None:
         predict,
     )
 
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
+
     model, cfg = build_model("legacy", num_classes=21)
     rs = np.random.RandomState(0)
-    init_img = jnp.asarray(
-        rs.normal(size=(1, CANVAS, CANVAS, 3)).astype(np.float32)
-    )
-    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)).astype(np.float32))
-    params = model.init(jax.random.key(0), init_img, rois, method="init_all")
+    params = init_detector_params(model, jax.random.key(0))
 
     images = jnp.asarray(
         rs.normal(size=(BATCH, CANVAS, CANVAS, 3)).astype(np.float32)

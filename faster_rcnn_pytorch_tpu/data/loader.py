@@ -134,8 +134,9 @@ class DetectionLoader:
             scale = min(canvas_h / h, canvas_w / w)
             image, boxes = _rescale(image, boxes, scale)
             h, w = image.shape[:2]
-        out = np.zeros((canvas_h, canvas_w, 3), np.float32)
-        out[:h, :w] = normalize(image)
+        from faster_rcnn_pytorch_tpu.data import native
+
+        out = native.normalize_into_canvas(image, canvas_h, canvas_w)
         g = self.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)
         gt_labels = np.zeros((g,), np.int32)

@@ -58,11 +58,9 @@ def init_params(model, opts: Options):
             else import_fpn_torch_params
         )
         return importer(sd, opts.num_classes)
-    rs = np.random.RandomState(opts.seed)
-    canvas = 256
-    images = jnp.asarray(rs.normal(size=(1, canvas, canvas, 3)), jnp.float32)
-    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)), jnp.float32)
-    return model.init(jax.random.key(opts.seed), images, rois, method="init_all")
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
+
+    return init_detector_params(model, jax.random.key(opts.seed))
 
 
 def label_map_for(opts: Options, coco_index):

@@ -401,6 +401,22 @@ def predict(
     return Detections(out_boxes, out_labels, out_scores, out_valid)
 
 
+def init_detector_params(
+    model: nn.Module, rng: Array, canvas: int = 256, batch: int = 1
+):
+    """Jitted parameter init (eager init dispatches hundreds of tiny ops —
+    pathological on TPU-over-tunnel backends)."""
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(
+        rs.normal(size=(batch, canvas, canvas, 3)).astype(np.float32)
+    )
+    rois = jnp.asarray(
+        rs.uniform(0.2, 0.5, size=(batch, 4, 4)).astype(np.float32)
+    )
+    init_fn = jax.jit(lambda r, im, ro: model.init(r, im, ro, method="init_all"))
+    return init_fn(rng, images, rois)
+
+
 def build_model(generation: str, num_classes: int | None = None, dtype=jnp.bfloat16):
     """Model + config factory (counterpart of models/build.py:7-19 minus
     the DDP wrap — parallelism is a sharding concern, see ``parallel``)."""

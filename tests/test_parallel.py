@@ -15,7 +15,35 @@ from faster_rcnn_pytorch_tpu.parallel.train_step import (
     make_optimizer,
     make_train_step,
 )
-from tests.test_model_forward import CANVAS, SMALL_LEGACY, make_batch
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import LEGACY_CONFIG
+
+# Dry-run-sized config: CPU XLA compiles the 8-way SPMD step in minutes at
+# canvas 160 but well under one at canvas 96 with small proposal budgets.
+TINY_CANVAS = 96
+TINY_LEGACY = dataclasses.replace(
+    LEGACY_CONFIG,
+    num_classes=6,
+    pre_nms_train=128,
+    post_nms_train=32,
+    pre_nms_test=64,
+    post_nms_test=16,
+    roi_samples=16,
+    roi_pos_quota=4,
+    max_detections=8,
+)
+
+
+def tiny_batch(rs, b):
+    images = rs.normal(size=(b, TINY_CANVAS, TINY_CANVAS, 3)).astype(np.float32)
+    extents = np.tile(
+        np.array([[1.0, 1.0], [0.8, 0.9]], np.float32), (-(-b // 2), 1)
+    )[:b]
+    xy1 = rs.uniform(0, 0.5, size=(b, 4, 2))
+    wh = rs.uniform(0.1, 0.4, size=(b, 4, 2))
+    boxes = np.concatenate([xy1, np.minimum(xy1 + wh, 0.99)], -1).astype(np.float32)
+    labels = rs.randint(0, 5, size=(b, 4)).astype(np.int32)
+    mask = np.ones((b, 4), bool)
+    return images, extents, boxes, labels, mask
 
 
 def test_mesh_has_8_devices():
@@ -45,18 +73,16 @@ def test_dp_train_step_8way():
     mesh = make_mesh()
     n_dev = mesh.devices.size
     model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
-    rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.normal(size=(1, CANVAS, CANVAS, 3)), jnp.float32)
-    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)), jnp.float32)
-    params = model.init(jax.random.key(0), images, rois, method="init_all")
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
+    params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
 
     sched = make_lr_schedule("cosine", 1e-3, epochs=2, steps_per_epoch=4)
     opt = make_optimizer(params, sched)
     state = replicate(init_train_state(params, opt), mesh)
-    step = make_train_step(model, SMALL_LEGACY, opt, mesh)
+    step = make_train_step(model, TINY_LEGACY, opt, mesh)
 
     # Global batch of 8, one image per device.
-    batch_np = make_batch(np.random.RandomState(1), b=n_dev)
+    batch_np = tiny_batch(np.random.RandomState(1), b=n_dev)
     keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
     batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
     batch = shard_batch(batch, mesh)
@@ -77,21 +103,19 @@ def test_dp_matches_single_device_gradients():
     mesh8 = make_mesh()
     mesh1 = make_mesh(num_devices=1)
     model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
-    rs = np.random.RandomState(2)
-    images = jnp.asarray(rs.normal(size=(1, CANVAS, CANVAS, 3)), jnp.float32)
-    rois = jnp.asarray(rs.uniform(0.2, 0.5, size=(1, 4, 4)), jnp.float32)
-    params = model.init(jax.random.key(0), images, rois, method="init_all")
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
+    params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
     sched = make_lr_schedule("constant", 1e-3, 1, 1)
     opt = make_optimizer(params, sched)
 
-    batch_np = make_batch(np.random.RandomState(3), b=8)
+    batch_np = tiny_batch(np.random.RandomState(3), b=8)
     keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
     batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
 
     losses = []
     for mesh in (mesh8, mesh1):
         state = replicate(init_train_state(params, opt), mesh)
-        step = make_train_step(model, SMALL_LEGACY, opt, mesh, donate=False)
+        step = make_train_step(model, TINY_LEGACY, opt, mesh, donate=False)
         _, metrics = step(state, shard_batch(batch, mesh), jax.random.key(7))
         losses.append(float(metrics["loss"]))
     assert np.isclose(losses[0], losses[1], rtol=2e-4)
