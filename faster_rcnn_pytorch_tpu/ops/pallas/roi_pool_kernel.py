@@ -6,7 +6,13 @@ prefetch so bin bounds are computed in SMEM before the body reads any
 feature data. Each of the 7x7 bins evaluates a fixed-size window
 ``[kh, kw, c]`` with a validity mask and a masked max — the same exact
 torchvision bin arithmetic as :func:`..roi_pool.roi_pool` (integer
-floor/ceil bounds), but with zero HBM traffic per bin.
+floor/ceil bounds), but entirely VMEM-resident.
+
+Mosaic constraint handled here: dynamic-slice starts on the sublane (w)
+dimension must be 8-aligned, so the w window start is aligned down to a
+multiple of 8 and the static window is widened by 7 columns; the bin
+mask recovers exactness. The feature map is pre-padded to a multiple of
+8 in w so the widened window never reads out of bounds.
 """
 
 from __future__ import annotations
@@ -21,31 +27,41 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _roi_pool_kernel(output_size, k_h, k_w, h, w, bounds_ref, feat_ref, out_ref):
+def _roi_pool_kernel(
+    output_size, k_h, k_w_al, h, w_pad, bounds_ref, feat_ref, out_ref
+):
     i = pl.program_id(0)
     neg_inf = jnp.float32(-jnp.inf)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w), 1)
+    # 3-D iotas with a size-1 lane dim: the additive -inf mask then
+    # broadcasts along lanes, which Mosaic handles natively (a 2-D->3-D
+    # mask reshape does not compile).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w_al, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w_al, 1), 1)
 
+    rows = []
     for ph in range(output_size):
+        hl = bounds_ref[i, 0 * output_size + ph]
+        hh = bounds_ref[i, 1 * output_size + ph]
+        hl_c = jnp.clip(hl, 0, h - k_h)
+        cols = []
         for pw in range(output_size):
-            hl = bounds_ref[i, 0 * output_size + ph]
-            hh = bounds_ref[i, 1 * output_size + ph]
             wl = bounds_ref[i, 2 * output_size + pw]
             wh = bounds_ref[i, 3 * output_size + pw]
-            hl_c = jnp.minimum(hl, h - k_h)
-            wl_c = jnp.minimum(wl, w - k_w)
-            window = feat_ref[pl.ds(hl_c, k_h), pl.ds(wl_c, k_w), :]
+            wl_a = jnp.clip((wl // 8) * 8, 0, w_pad - k_w_al)
+            wl_a = pl.multiple_of(wl_a, 8)
+            window = feat_ref[pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :]
             ok = (
                 (row_ids + hl_c >= hl)
                 & (row_ids + hl_c < hh)
-                & (col_ids + wl_c >= wl)
-                & (col_ids + wl_c < wh)
+                & (col_ids + wl_a >= wl)
+                & (col_ids + wl_a < wh)
             )
-            masked = jnp.where(ok[:, :, None], window, neg_inf)
-            result = jnp.max(masked, axis=(0, 1))
+            penalty = jnp.where(ok, 0.0, neg_inf)  # [k_h, k_w_al, 1]
+            result = jnp.max(window + penalty, axis=(0, 1))
             empty = (hh <= hl) | (wh <= wl)
-            out_ref[0, ph, pw, :] = jnp.where(empty, 0.0, result)
+            cols.append(jnp.where(empty, 0.0, result))
+        rows.append(jnp.stack(cols, axis=0))
+    out_ref[0] = jnp.stack(rows, axis=0)
 
 
 @functools.partial(
@@ -87,11 +103,19 @@ def roi_pool_pallas(
     w_lo, w_hi = bounds(sx, ext_w, w)
     all_bounds = jnp.concatenate([h_lo, h_hi, w_lo, w_hi], axis=1)  # [n, 28]
 
+    w_pad = -(-w // 8) * 8
     k_h = min(-(-(h + 1) // output_size) + 1, h)
     k_w = min(-(-(w + 1) // output_size) + 1, w)
+    # Window must absorb the <=7-column start alignment shift AND itself be
+    # a multiple of 8 so that the clip bound w_pad - k_w_al stays 8-aligned
+    # (pl.multiple_of is an assertion to the compiler, not a rounding).
+    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    feats = jnp.pad(
+        features.astype(jnp.float32), ((0, 0), (0, w_pad - w), (0, 0))
+    )
 
     kernel = functools.partial(
-        _roi_pool_kernel, output_size, k_h, k_w, h, w
+        _roi_pool_kernel, output_size, k_h, k_w_al, h, w_pad
     )
     out = pl.pallas_call(
         kernel,
@@ -103,7 +127,9 @@ def roi_pool_pallas(
             grid=(n,),
             in_specs=[
                 pl.BlockSpec(
-                    (h, w, c), lambda i, b: (0, 0, 0), memory_space=pltpu.VMEM
+                    (h, w_pad, c),
+                    lambda i, b: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -113,5 +139,5 @@ def roi_pool_pallas(
             ),
         ),
         interpret=interpret,
-    )(all_bounds, features.astype(jnp.float32))
+    )(all_bounds, feats)
     return out.astype(features.dtype)

@@ -23,11 +23,19 @@ of ``O(k_h * k_w)`` per bin.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def use_pallas_ops() -> bool:
+    """Kernel dispatch policy: Pallas on TPU unless FRT_FORCE_LAX_OPS=1."""
+    if os.environ.get("FRT_FORCE_LAX_OPS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _bin_bounds(start: Array, extent: Array, size: Array, output_size: int):
@@ -47,10 +55,32 @@ def _bin_bounds(start: Array, extent: Array, size: Array, output_size: int):
     return lo, hi
 
 
+def roi_pool(
+    features: Array,
+    rois: Array,
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+    roi_chunk: int = 16,
+) -> Array:
+    """Max RoIPool over one feature map (Pallas kernel on TPU, lax
+    fallback elsewhere — both bit-identical to torchvision semantics)."""
+    if use_pallas_ops():
+        from faster_rcnn_pytorch_tpu.ops.pallas.roi_pool_kernel import (
+            roi_pool_pallas,
+        )
+
+        return roi_pool_pallas(
+            features, rois, spatial_scale, output_size=output_size
+        )
+    return roi_pool_lax(
+        features, rois, spatial_scale, output_size=output_size, roi_chunk=roi_chunk
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("output_size", "roi_chunk")
 )
-def roi_pool(
+def roi_pool_lax(
     features: Array,
     rois: Array,
     spatial_scale: float = 1.0,

@@ -19,16 +19,16 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import LEGACY_CONFIG
 
 # Dry-run-sized config: CPU XLA compiles the 8-way SPMD step in minutes at
 # canvas 160 but well under one at canvas 96 with small proposal budgets.
-TINY_CANVAS = 96
+TINY_CANVAS = 64
 TINY_LEGACY = dataclasses.replace(
     LEGACY_CONFIG,
     num_classes=6,
-    pre_nms_train=128,
-    post_nms_train=32,
-    pre_nms_test=64,
-    post_nms_test=16,
-    roi_samples=16,
-    roi_pos_quota=4,
+    pre_nms_train=64,
+    post_nms_train=16,
+    pre_nms_test=32,
+    post_nms_test=8,
+    roi_samples=8,
+    roi_pos_quota=2,
     max_detections=8,
 )
 
@@ -69,41 +69,13 @@ def test_lr_schedules():
 
 
 @pytest.mark.slow
-def test_dp_train_step_8way():
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
-    model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
+def test_dp_train_step_and_parity():
+    """8-way SPMD step runs, updates params, and its global-batch loss
+    matches the single-device computation (DDP-equivalence check)."""
     from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
-    params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
 
-    sched = make_lr_schedule("cosine", 1e-3, epochs=2, steps_per_epoch=4)
-    opt = make_optimizer(params, sched)
-    state = replicate(init_train_state(params, opt), mesh)
-    step = make_train_step(model, TINY_LEGACY, opt, mesh)
-
-    # Global batch of 8, one image per device.
-    batch_np = tiny_batch(np.random.RandomState(1), b=n_dev)
-    keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
-    batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
-    batch = shard_batch(batch, mesh)
-
-    before = jax.tree.leaves(state.params)[0].copy()
-    metrics = None
-    for i in range(2):
-        state, metrics = step(state, batch, jax.random.key(i))
-    assert np.isfinite(float(metrics["loss"]))
-    assert int(state.step) == 2
-    after = jax.tree.leaves(state.params)[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))
-
-
-@pytest.mark.slow
-def test_dp_matches_single_device_gradients():
-    """The 8-way sharded loss must equal the replicated-computation loss."""
     mesh8 = make_mesh()
-    mesh1 = make_mesh(num_devices=1)
     model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
-    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
     params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
     sched = make_lr_schedule("constant", 1e-3, 1, 1)
     opt = make_optimizer(params, sched)
@@ -112,10 +84,18 @@ def test_dp_matches_single_device_gradients():
     keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
     batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
 
-    losses = []
-    for mesh in (mesh8, mesh1):
-        state = replicate(init_train_state(params, opt), mesh)
-        step = make_train_step(model, TINY_LEGACY, opt, mesh, donate=False)
-        _, metrics = step(state, shard_batch(batch, mesh), jax.random.key(7))
-        losses.append(float(metrics["loss"]))
-    assert np.isclose(losses[0], losses[1], rtol=2e-4)
+    state8 = replicate(init_train_state(params, opt), mesh8)
+    step8 = make_train_step(model, TINY_LEGACY, opt, mesh8, donate=False)
+    before = np.asarray(jax.tree.leaves(state8.params)[0]).copy()
+    new_state, metrics8 = step8(state8, shard_batch(batch, mesh8), jax.random.key(7))
+    new_state, metrics8b = step8(new_state, shard_batch(batch, mesh8), jax.random.key(8))
+    assert np.isfinite(float(metrics8["loss"]))
+    assert int(new_state.step) == 2
+    after = np.asarray(jax.tree.leaves(new_state.params)[0])
+    assert not np.allclose(before, after)
+
+    mesh1 = make_mesh(num_devices=1)
+    state1 = replicate(init_train_state(params, opt), mesh1)
+    step1 = make_train_step(model, TINY_LEGACY, opt, mesh1, donate=False)
+    _, metrics1 = step1(state1, shard_batch(batch, mesh1), jax.random.key(7))
+    assert np.isclose(float(metrics8["loss"]), float(metrics1["loss"]), rtol=2e-4)
