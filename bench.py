@@ -40,27 +40,29 @@ def main() -> None:
     rs = np.random.RandomState(0)
     params = init_detector_params(model, jax.random.key(0))
 
-    images = jnp.asarray(
+    base = jnp.asarray(
         rs.normal(size=(BATCH, CANVAS, CANVAS, 3)).astype(np.float32)
     )
+    # Distinct device-resident inputs defeat any backend memoisation;
+    # blocking once at the end measures pipelined (serving) throughput
+    # rather than tunnel round-trip latency.
+    images = [base + 0.001 * i for i in range(ITERS + WARMUP)]
+    jax.block_until_ready(images)
     extents = jnp.ones((BATCH, 2), jnp.float32)
 
     @jax.jit
     def fn(params, images, extents):
         return model.apply(params, cfg, images, extents, method=predict)
 
-    for _ in range(WARMUP):
-        out = fn(params, images, extents)
-        jax.block_until_ready(out)
+    outs = [fn(params, im, extents) for im in images[:WARMUP]]
+    jax.block_until_ready(outs)
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = fn(params, images, extents)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    outs = [fn(params, im, extents) for im in images[WARMUP:]]
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - t0
 
-    img_per_sec = BATCH / float(np.median(times))
+    img_per_sec = BATCH * ITERS / elapsed
     print(
         json.dumps(
             {
