@@ -14,14 +14,20 @@ as the nominal baseline until a GPU measurement exists).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+# Persistent compilation cache: the predict program takes minutes to
+# compile through the TPU tunnel; repeat bench runs reuse it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 NOMINAL_BASELINE_IMG_PER_SEC = 10.0
 BATCH = 4
 CANVAS = 800
-WARMUP = 3
+WARMUP = 2
 ITERS = 10
 
 

@@ -56,7 +56,8 @@ def _self_suppression_fixpoint(active0: Array, overlap: Array) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("post_k", "tile", "return_mask")
+    jax.jit,
+    static_argnames=("iou_threshold", "post_k", "tile", "return_mask"),
 )
 def nms(
     boxes: Array,
@@ -120,9 +121,20 @@ def nms(
 
         return jax.lax.dynamic_update_slice(keep, active, (start,))
 
-    keep = jax.lax.fori_loop(
-        0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool)
-    )
+    from faster_rcnn_pytorch_tpu.ops.roi_pool import use_pallas_ops
+
+    if use_pallas_ops() and tile % 128 == 0:
+        from faster_rcnn_pytorch_tpu.ops.pallas.nms_kernel import (
+            nms_keep_mask_pallas,
+        )
+
+        keep = nms_keep_mask_pallas(
+            sorted_boxes, sorted_valid, float(iou_threshold), tile=tile
+        )
+    else:
+        keep = jax.lax.fori_loop(
+            0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool)
+        )
 
     # First `post_k` kept boxes in score order -> fixed index buffer.
     rank_key = jnp.where(keep, -positions, jnp.int32(-n_pad - 1))
@@ -138,7 +150,9 @@ def nms(
     return keep_idx, sel_valid
 
 
-@functools.partial(jax.jit, static_argnames=("post_k", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("iou_threshold", "post_k", "tile")
+)
 def batched_nms(
     boxes: Array,
     scores: Array,
@@ -162,7 +176,14 @@ def batched_nms(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "per_class_k", "max_det", "tile"),
+    static_argnames=(
+        "score_threshold",
+        "iou_threshold",
+        "num_classes",
+        "per_class_k",
+        "max_det",
+        "tile",
+    ),
 )
 def multiclass_nms(
     cls_boxes: Array,
