@@ -32,18 +32,13 @@ Array = jax.Array
 
 
 def _nms_kernel(
-    iou_threshold, tile, n_pad, boxes_ref, boxes_t_ref, valid_ref, keep_ref
+    iou_threshold, tile, chunk, n_pad, boxes_ref, boxes_t_ref, valid_ref, keep_ref
 ):
     num_tiles = n_pad // tile
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    num_chunks = n_pad // chunk
     local_i = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     local_j = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-
-    ax1 = boxes_t_ref[0:1, :]
-    ay1 = boxes_t_ref[1:2, :]
-    ax2 = boxes_t_ref[2:3, :]
-    ay2 = boxes_t_ref[3:4, :]
-    area_a = (ax2 - ax1) * (ay2 - ay1)
+    chunk_pos = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     keep_ref[:, :] = jnp.zeros((1, n_pad), jnp.float32)
 
@@ -53,29 +48,45 @@ def _nms_kernel(
         by1 = boxes_ref[pl.ds(start, tile), 1:2]
         bx2 = boxes_ref[pl.ds(start, tile), 2:3]
         by2 = boxes_ref[pl.ds(start, tile), 3:4]
-
-        inter_w = jnp.clip(jnp.minimum(bx2, ax2) - jnp.maximum(bx1, ax1), 0.0)
-        inter_h = jnp.clip(jnp.minimum(by2, ay2) - jnp.maximum(by1, ay1), 0.0)
-        inter = inter_w * inter_h
         area_t = (bx2 - bx1) * (by2 - by1)
-        union = jnp.maximum(area_t + area_a - inter, 1e-12)
-        over = ((inter / union) > iou_threshold).astype(jnp.float32)  # [T, N]
 
-        # Suppression by kept boxes of earlier (already final) tiles.
-        earlier_kept = keep_ref[:, :] * (pos < start).astype(jnp.float32)
-        cross = jax.lax.dot_general(
-            over,
-            earlier_kept.reshape(n_pad, 1),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, 1]
+        def over_block(col_slice):
+            """IoU-over-threshold block [tile, width] vs a column slice."""
+            ax1 = boxes_t_ref[0:1, col_slice]
+            ay1 = boxes_t_ref[1:2, col_slice]
+            ax2 = boxes_t_ref[2:3, col_slice]
+            ay2 = boxes_t_ref[3:4, col_slice]
+            iw = jnp.clip(jnp.minimum(bx2, ax2) - jnp.maximum(bx1, ax1), 0.0)
+            ih = jnp.clip(jnp.minimum(by2, ay2) - jnp.maximum(by1, ay1), 0.0)
+            inter = iw * ih
+            area_a = (ax2 - ax1) * (ay2 - ay1)
+            union = jnp.maximum(area_t + area_a - inter, 1e-12)
+            return (inter / union > iou_threshold).astype(jnp.float32)
+
+        # Cross-tile suppression, accumulated over VMEM-sized column
+        # chunks ([tile, chunk] instead of [tile, n] intermediates).
+        def chunk_body(c, cross):
+            c0 = pl.multiple_of(c * chunk, chunk)
+            over_c = over_block(pl.ds(c0, chunk))  # [tile, chunk]
+            earlier = keep_ref[0:1, pl.ds(c0, chunk)] * (
+                (chunk_pos + c0) < start
+            ).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                earlier,
+                over_c,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, tile]
+            return cross + contrib
+
+        cross = jax.lax.fori_loop(
+            0, num_chunks, chunk_body, jnp.zeros((1, tile), jnp.float32)
+        )
         tile_valid = valid_ref[0:1, pl.ds(start, tile)]  # [1, T]
-        active0 = tile_valid * (cross.reshape(1, tile) <= 0.0)
+        active0 = tile_valid * (cross <= 0.0)
 
         tile_over = jnp.where(
-            local_i < local_j,
-            jax.lax.dynamic_slice(over, (0, start), (tile, tile)),
-            0.0,
+            local_i < local_j, over_block(pl.ds(start, tile)), 0.0
         )
 
         def cond(state):
@@ -104,13 +115,14 @@ def _nms_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iou_threshold", "tile", "interpret")
+    jax.jit, static_argnames=("iou_threshold", "tile", "chunk", "interpret")
 )
 def nms_keep_mask_pallas(
     sorted_boxes: Array,
     sorted_valid: Array,
     iou_threshold: float,
     tile: int = 256,
+    chunk: int = 1024,
     interpret: bool = False,
 ) -> Array:
     """Greedy keep mask over score-sorted boxes.
@@ -123,11 +135,14 @@ def nms_keep_mask_pallas(
     Returns ``[n]`` bool keep mask (sorted order).
     """
     n = sorted_boxes.shape[0]
-    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    chunk = min(chunk, n)
+    if n % chunk:
+        chunk = tile  # n is always a multiple of tile
+    assert n % tile == 0 and tile % 128 == 0 and n % chunk == 0, (n, tile, chunk)
     boxes = sorted_boxes.astype(jnp.float32)
 
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, float(iou_threshold), tile, n),
+        functools.partial(_nms_kernel, float(iou_threshold), tile, chunk, n),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
