@@ -28,8 +28,10 @@ Array = jax.Array
 
 
 def _roi_pool_kernel(
-    output_size, k_h, k_w_al, h, w_pad, bounds_ref, feat_ref, out_ref
+    output_size, k_h, k_w_al, h, w_pad, with_argmax, bounds_ref, feat_ref, *outs
 ):
+    out_ref = outs[0]
+    arg_ref = outs[1] if with_argmax else None
     i = pl.program_id(0)
     neg_inf = jnp.float32(-jnp.inf)
     # 3-D iotas with a size-1 lane dim: the additive -inf mask then
@@ -39,11 +41,13 @@ def _roi_pool_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w_al, 1), 1)
 
     rows = []
+    arg_rows = []
     for ph in range(output_size):
         hl = bounds_ref[i, 0 * output_size + ph]
         hh = bounds_ref[i, 1 * output_size + ph]
         hl_c = jnp.clip(hl, 0, h - k_h)
         cols = []
+        arg_cols = []
         for pw in range(output_size):
             wl = bounds_ref[i, 2 * output_size + pw]
             wh = bounds_ref[i, 3 * output_size + pw]
@@ -57,27 +61,34 @@ def _roi_pool_kernel(
                 & (col_ids + wl_a < wh)
             )
             penalty = jnp.where(ok, 0.0, neg_inf)  # [k_h, k_w_al, 1]
-            result = jnp.max(window + penalty, axis=(0, 1))
+            masked = window + penalty
+            result = jnp.max(masked, axis=(0, 1))
             empty = (hh <= hl) | (wh <= wl)
             cols.append(jnp.where(empty, 0.0, result))
+            if with_argmax:
+                # First (smallest-position) max, torch tie-breaking.
+                flat_pos = (row_ids + hl_c) * w_pad + (col_ids + wl_a)
+                cand = jnp.where(
+                    masked >= result[None, None, :], flat_pos, h * w_pad
+                )
+                argpos = jnp.min(cand, axis=(0, 1))
+                arg_cols.append(jnp.where(empty, -1, argpos))
         rows.append(jnp.stack(cols, axis=0))
+        if with_argmax:
+            arg_rows.append(jnp.stack(arg_cols, axis=0))
     out_ref[0] = jnp.stack(rows, axis=0)
+    if with_argmax:
+        arg_ref[0] = jnp.stack(arg_rows, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("output_size", "interpret")
-)
-def roi_pool_pallas(
+def _roi_pool_pallas_impl(
     features: Array,
     rois: Array,
-    spatial_scale: float = 1.0,
-    output_size: int = 7,
-    interpret: bool = False,
-) -> Array:
-    """Drop-in twin of :func:`..roi_pool.roi_pool` (same args/semantics).
-
-    features ``[h, w, c]`` NHWC; rois ``[n, 4]`` xyxy within the map.
-    """
+    spatial_scale: float,
+    output_size: int,
+    interpret: bool,
+    with_argmax: bool,
+):
     h, w, c = features.shape
     n = rois.shape[0]
 
@@ -115,13 +126,26 @@ def roi_pool_pallas(
     )
 
     kernel = functools.partial(
-        _roi_pool_kernel, output_size, k_h, k_w_al, h, w_pad
+        _roi_pool_kernel, output_size, k_h, k_w_al, h, w_pad, with_argmax
     )
-    out = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, output_size, output_size, c), jnp.float32)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, output_size, output_size, c),
+            lambda i, b: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if with_argmax:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n, output_size, output_size, c), jnp.int32)
+        )
+        out_specs.append(out_specs[0])
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (n, output_size, output_size, c), jnp.float32
-        ),
+        out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n,),
@@ -132,12 +156,64 @@ def roi_pool_pallas(
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, output_size, output_size, c),
-                lambda i, b: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=tuple(out_specs),
         ),
         interpret=interpret,
     )(all_bounds, feats)
-    return out.astype(features.dtype)
+    out = outs[0].astype(features.dtype)
+    if with_argmax:
+        return out, outs[1]
+    return out
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
+)
+def roi_pool_pallas(
+    features: Array,
+    rois: Array,
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in twin of :func:`..roi_pool.roi_pool` (same args/semantics),
+    differentiable w.r.t. ``features`` — max-pool gradients scatter to the
+    argmax cell (torch semantics: first max wins ties); rois get none
+    (they are stop_gradient'ed upstream, models/model.py:55).
+
+    features ``[h, w, c]`` NHWC; rois ``[n, 4]`` xyxy within the map.
+    """
+    return _roi_pool_pallas_impl(
+        features, rois, spatial_scale, output_size, interpret, False
+    )
+
+
+def _roi_pool_fwd(features, rois, spatial_scale, output_size, interpret):
+    out, argmax = _roi_pool_pallas_impl(
+        features, rois, spatial_scale, output_size, interpret, True
+    )
+    # Zero-size token carries the feature shape/dtype through residuals
+    # (raw shapes/dtypes are not valid pytree leaves).
+    token = jnp.zeros(features.shape[:2] + (0,), features.dtype)
+    return out, (argmax, token)
+
+
+def _roi_pool_bwd(spatial_scale, output_size, interpret, residuals, g):
+    argmax, token = residuals
+    h, w = token.shape[:2]
+    c = argmax.shape[-1]
+    dtype = token.dtype
+    w_pad = -(-w // 8) * 8
+    flat = argmax.reshape(-1, c)
+    gflat = g.reshape(-1, c).astype(jnp.float32)
+    valid = flat >= 0
+    safe = jnp.where(valid, flat, 0)
+    gflat = jnp.where(valid, gflat, 0.0)
+    lanes = jnp.broadcast_to(jnp.arange(c)[None, :], safe.shape)
+    dfeat = jnp.zeros((h * w_pad, c), jnp.float32)
+    dfeat = dfeat.at[safe, lanes].add(gflat)
+    dfeat = dfeat.reshape(h, w_pad, c)[:, :w, :]
+    return dfeat.astype(dtype), None
+
+
+roi_pool_pallas.defvjp(_roi_pool_fwd, _roi_pool_bwd)

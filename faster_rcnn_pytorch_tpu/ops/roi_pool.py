@@ -69,9 +69,8 @@ def roi_pool(
             roi_pool_pallas,
         )
 
-        return roi_pool_pallas(
-            features, rois, spatial_scale, output_size=output_size
-        )
+        # positional args: custom_vjp nondiff argnums
+        return roi_pool_pallas(features, rois, spatial_scale, output_size)
     return roi_pool_lax(
         features, rois, spatial_scale, output_size=output_size, roi_chunk=roi_chunk
     )

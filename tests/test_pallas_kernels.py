@@ -71,9 +71,28 @@ def test_roi_pool_kernel_matches_lax():
     rs = np.random.RandomState(2)
     feat = jnp.asarray(rs.normal(size=(25, 19, 128)).astype(np.float32))
     rois = jnp.asarray(rand_rois(rs, 9, 25, 19))
-    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, interpret=True))
+    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, 7, True))
     want = np.asarray(roi_pool(feat, rois, 1.0))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_roi_pool_kernel_gradients_match_lax():
+    import jax
+
+    rs = np.random.RandomState(5)
+    feat = jnp.asarray(rs.normal(size=(17, 13, 128)).astype(np.float32))
+    rois = jnp.asarray(rand_rois(rs, 5, 17, 13))
+    g_out = jnp.asarray(rs.normal(size=(5, 7, 7, 128)).astype(np.float32))
+
+    def loss_pallas(f):
+        return (roi_pool_pallas(f, rois, 1.0, 7, True) * g_out).sum()
+
+    def loss_lax(f):
+        return (roi_pool(f, rois, 1.0) * g_out).sum()
+
+    gp = np.asarray(jax.grad(loss_pallas)(feat))
+    gl = np.asarray(jax.grad(loss_lax)(feat))
+    np.testing.assert_allclose(gp, gl, atol=1e-4)
 
 
 def test_roi_pool_kernel_degenerate_rois():
@@ -82,6 +101,6 @@ def test_roi_pool_kernel_degenerate_rois():
     rois = jnp.asarray(
         np.array([[0, 0, 0.3, 0.3], [15.7, 15.7, 16, 16], [0, 0, 16, 16]], np.float32)
     )
-    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, interpret=True))
+    got = np.asarray(roi_pool_pallas(feat, rois, 1.0, 7, True))
     want = np.asarray(roi_pool(feat, rois, 1.0))
     np.testing.assert_allclose(got, want, atol=1e-6)
