@@ -87,6 +87,12 @@ def roi_loss(
     return cls_loss, reg_loss
 
 
+def build_loss(opts=None):
+    """Criterion factory (API parity with losses/build.py:4-6)."""
+    del opts
+    return frcnn_loss
+
+
 def frcnn_loss(pred, target) -> LossBreakdown:
     """Total loss from (pred, target) 4-tuples — API parity with
     ``FRCNNLoss.forward`` (losses/loss.py:71-85)."""

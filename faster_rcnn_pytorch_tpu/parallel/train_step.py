@@ -67,6 +67,15 @@ def make_lr_schedule(
             lr = base_lr * gamma**drops
         elif kind == "constant":
             lr = jnp.asarray(base_lr, jnp.float32)
+        elif kind == "cosine_warmup_restarts":
+            # Parity with the reference's (unused) warmup-restart scheduler
+            # (scheduler.py:6-92): cycles of `total` steps, linear warmup of
+            # `warm` steps inside each cycle, cosine decay after.
+            cycle_pos = jnp.mod(step, max(total, 1))
+            t = jnp.clip((cycle_pos - warm) / max(total - warm, 1), 0.0, 1.0)
+            cos_lr = eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * t))
+            warm_lr = base_lr * (cycle_pos + 1) / max(warm, 1)
+            return jnp.where(cycle_pos < warm, warm_lr, cos_lr)
         else:
             raise ValueError(f"unknown schedule {kind!r}")
         if warm:
