@@ -81,19 +81,8 @@ def _roi_pool_kernel(
         arg_ref[0] = jnp.stack(arg_rows, axis=0)
 
 
-def _roi_pool_pallas_impl(
-    features: Array,
-    rois: Array,
-    spatial_scale: float,
-    output_size: int,
-    interpret: bool,
-    with_argmax: bool,
-):
-    h, w, c = features.shape
-    n = rois.shape[0]
-
-    # Bin bounds in exact integer arithmetic, precomputed on device
-    # (cheap [n, 28] tensor), prefetched into SMEM.
+def _compute_bounds(rois, spatial_scale, output_size, h, w):
+    """Integer bin bounds [n, 4*output_size], prefetchable into SMEM."""
     sx = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
     sy = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
     ex = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
@@ -112,7 +101,20 @@ def _roi_pool_pallas_impl(
 
     h_lo, h_hi = bounds(sy, ext_h, h)
     w_lo, w_hi = bounds(sx, ext_w, w)
-    all_bounds = jnp.concatenate([h_lo, h_hi, w_lo, w_hi], axis=1)  # [n, 28]
+    return jnp.concatenate([h_lo, h_hi, w_lo, w_hi], axis=1)
+
+
+def _roi_pool_pallas_impl(
+    features: Array,
+    rois: Array,
+    spatial_scale: float,
+    output_size: int,
+    interpret: bool,
+    with_argmax: bool,
+):
+    h, w, c = features.shape
+    n = rois.shape[0]
+    all_bounds = _compute_bounds(rois, spatial_scale, output_size, h, w)
 
     w_pad = -(-w // 8) * 8
     k_h = min(-(-(h + 1) // output_size) + 1, h)
@@ -188,6 +190,75 @@ def roi_pool_pallas(
     )
 
 
+def _roi_pool_bwd_kernel(
+    output_size, k_h, k_w_al, h, w_pad, bounds_ref, g_ref, arg_ref, dfeat_ref
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dfeat_ref[:, :, :] = jnp.zeros_like(dfeat_ref)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w_al, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k_h, k_w_al, 1), 1)
+
+    for ph in range(output_size):
+        hl = bounds_ref[i, 0 * output_size + ph]
+        hl_c = jnp.clip(hl, 0, h - k_h)
+        for pw in range(output_size):
+            wl = bounds_ref[i, 2 * output_size + pw]
+            wl_a = jnp.clip((wl // 8) * 8, 0, w_pad - k_w_al)
+            wl_a = pl.multiple_of(wl_a, 8)
+            flat_pos = (row_ids + hl_c) * w_pad + (col_ids + wl_a)
+            argmax = arg_ref[0, ph, pw, :]  # [c]; -1 for empty bins
+            onehot = (flat_pos == argmax[None, None, :]).astype(jnp.float32)
+            grad = g_ref[0, ph, pw, :]
+            window = dfeat_ref[pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :]
+            dfeat_ref[pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :] = (
+                window + onehot * grad[None, None, :]
+            )
+
+
+def _roi_pool_bwd_pallas(argmax, g, h, w, output_size, bounds, interpret):
+    """Gradient w.r.t. features via per-roi one-hot accumulation in VMEM.
+
+    Replaces an XLA scatter-add of n*49*c elements, which dominates the
+    whole train step on TPU (scatters serialize)."""
+    n, _, _, c = g.shape
+    w_pad = -(-w // 8) * 8
+    k_h = min(-(-(h + 1) // output_size) + 1, h)
+    k_w = min(-(-(w + 1) // output_size) + 1, w)
+    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    kernel = functools.partial(
+        _roi_pool_bwd_kernel, output_size, k_h, k_w_al, h, w_pad
+    )
+    dfeat = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w_pad, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, output_size, output_size, c),
+                    lambda i, b: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, output_size, output_size, c),
+                    lambda i, b: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (h, w_pad, c), lambda i, b: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(bounds, g.astype(jnp.float32), argmax)
+    return dfeat[:, :w, :]
+
+
 def _roi_pool_fwd(features, rois, spatial_scale, output_size, interpret):
     out, argmax = _roi_pool_pallas_impl(
         features, rois, spatial_scale, output_size, interpret, True
@@ -195,25 +266,17 @@ def _roi_pool_fwd(features, rois, spatial_scale, output_size, interpret):
     # Zero-size token carries the feature shape/dtype through residuals
     # (raw shapes/dtypes are not valid pytree leaves).
     token = jnp.zeros(features.shape[:2] + (0,), features.dtype)
-    return out, (argmax, token)
+    return out, (argmax, rois, token)
 
 
 def _roi_pool_bwd(spatial_scale, output_size, interpret, residuals, g):
-    argmax, token = residuals
+    argmax, rois, token = residuals
     h, w = token.shape[:2]
-    c = argmax.shape[-1]
-    dtype = token.dtype
-    w_pad = -(-w // 8) * 8
-    flat = argmax.reshape(-1, c)
-    gflat = g.reshape(-1, c).astype(jnp.float32)
-    valid = flat >= 0
-    safe = jnp.where(valid, flat, 0)
-    gflat = jnp.where(valid, gflat, 0.0)
-    lanes = jnp.broadcast_to(jnp.arange(c)[None, :], safe.shape)
-    dfeat = jnp.zeros((h * w_pad, c), jnp.float32)
-    dfeat = dfeat.at[safe, lanes].add(gflat)
-    dfeat = dfeat.reshape(h, w_pad, c)[:, :w, :]
-    return dfeat.astype(dtype), None
+    bounds = _compute_bounds(rois, spatial_scale, output_size, h, w)
+    dfeat = _roi_pool_bwd_pallas(
+        argmax, g, h, w, output_size, bounds, interpret
+    )
+    return dfeat.astype(token.dtype), None
 
 
 roi_pool_pallas.defvjp(_roi_pool_fwd, _roi_pool_bwd)
