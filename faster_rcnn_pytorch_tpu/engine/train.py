@@ -9,7 +9,6 @@ Checkpointing each epoch on the main process only (train.py:74-85).
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 from faster_rcnn_pytorch_tpu.parallel.mesh import shard_batch
 from faster_rcnn_pytorch_tpu.utils.checkpoint import (

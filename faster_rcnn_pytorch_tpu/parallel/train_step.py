@@ -10,7 +10,6 @@ inserted by XLA from the sharded-batch mean.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple
 
 import jax

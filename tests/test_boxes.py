@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from faster_rcnn_pytorch_tpu.ops import boxes as B
 from tests.conftest import boxes_fixture
