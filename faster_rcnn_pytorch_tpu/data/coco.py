@@ -126,13 +126,42 @@ def load_coco_records(
     return records, index
 
 
+# Official COCO archives (the reference downloads the same set,
+# datasets/coco_dataset.py:25-77).
+COCO_URLS = (
+    "http://images.cocodataset.org/zips/train2017.zip",
+    "http://images.cocodataset.org/zips/val2017.zip",
+    "http://images.cocodataset.org/annotations/annotations_trainval2017.zip",
+)
+
+
 def download_coco(root: str) -> None:
-    """No-egress stand-in for datasets/coco_dataset.py:25-77."""
+    """Idempotent COCO download + extract; raises with instructions when
+    the environment has no network egress."""
     ann = os.path.join(root, "annotations")
     if os.path.isdir(ann):
         return
-    raise FileNotFoundError(
-        f"No COCO data found under {root!r}. This environment has no "
-        "network egress; place train2017/ val2017/ annotations/ under the "
-        "data root."
-    )
+    import urllib.request
+    import zipfile
+
+    os.makedirs(root, exist_ok=True)
+    errors = []
+    for url in COCO_URLS:
+        marker = os.path.join(root, os.path.basename(url).replace(".zip", ""))
+        if os.path.isdir(marker):
+            continue
+        zip_path = os.path.join(root, os.path.basename(url))
+        try:
+            if not os.path.exists(zip_path):
+                print(f"downloading {url} ...")
+                urllib.request.urlretrieve(url, zip_path)
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(root)
+        except Exception as e:
+            errors.append(f"{url}: {e}")
+    if errors and not os.path.isdir(ann):
+        raise FileNotFoundError(
+            f"No COCO data under {root!r} and download failed "
+            f"({'; '.join(errors[:1])}). Place train2017/ val2017/ "
+            "annotations/ under the data root."
+        )

@@ -126,13 +126,44 @@ def load_voc_records(
     return records
 
 
+# Mirrors used by the reference (datasets/voc_dataset.py:18-26).
+VOC_URLS = {
+    "VOCtrainval_2007": "https://pjreddie.com/media/files/VOCtrainval_06-Nov-2007.tar",
+    "VOCtest_2007": "https://pjreddie.com/media/files/VOCtest_06-Nov-2007.tar",
+    "VOCtrainval_2012": "https://pjreddie.com/media/files/VOCtrainval_11-May-2012.tar",
+}
+
+
 def download_voc(root: str) -> None:
-    """No-egress stand-in for the reference's tar downloads
-    (datasets/voc_dataset.py:18-62)."""
-    if discover_voc_dirs(root, "trainval") or discover_voc_dirs(root, "test"):
+    """Idempotent VOC download + extract (datasets/voc_dataset.py:18-62).
+
+    Skips anything already present; raises with instructions when the
+    environment has no network egress.
+    """
+    if discover_voc_dirs(root, "trainval") and discover_voc_dirs(root, "test"):
         return
-    raise FileNotFoundError(
-        f"No VOC data found under {root!r}. This environment has no "
-        "network egress; place extracted VOCdevkit trees (e.g. "
-        "VOCtrainval_2007/, VOCtest_2007/) under the data root."
-    )
+    import os
+    import tarfile
+    import urllib.request
+
+    os.makedirs(root, exist_ok=True)
+    errors = []
+    for name, url in VOC_URLS.items():
+        dest_dir = os.path.join(root, name)
+        if os.path.isdir(dest_dir):
+            continue
+        tar_path = os.path.join(root, os.path.basename(url))
+        try:
+            if not os.path.exists(tar_path):
+                print(f"downloading {url} ...")
+                urllib.request.urlretrieve(url, tar_path)
+            with tarfile.open(tar_path) as tf:
+                tf.extractall(dest_dir)
+        except Exception as e:  # no egress / mirror down
+            errors.append(f"{url}: {e}")
+    if errors and not discover_voc_dirs(root, "trainval"):
+        raise FileNotFoundError(
+            f"No VOC data under {root!r} and download failed "
+            f"({'; '.join(errors[:2])}). Place extracted VOCdevkit trees "
+            "(e.g. VOCtrainval_2007/, VOCtest_2007/) under the data root."
+        )

@@ -102,24 +102,45 @@ def nms(
     num_tiles = n_pad // tile
     positions = jnp.arange(n_pad, dtype=jnp.int32)
 
-    def tile_body(t, keep):
+    def tile_body(state):
+        t, keep, count = state
         start = t * tile
         rows = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (tile, 4))
         row_valid = jax.lax.dynamic_slice(sorted_valid, (start,), (tile,))
 
-        iou_all, _ = box_iou(rows, sorted_boxes)  # [tile, n_pad]
-        over = iou_all > iou_threshold
+        # Cross-tile suppression: only tiles strictly before t can suppress
+        # (boxes are score-sorted), so sweep chunks 0..t-1 with a
+        # dynamic-bound fori — triangular work instead of all-columns.
+        def chunk_body(c, sup):
+            c0 = c * tile
+            cols = jax.lax.dynamic_slice(sorted_boxes, (c0, 0), (tile, 4))
+            kept_c = jax.lax.dynamic_slice(keep, (c0,), (tile,))
+            iou, _ = box_iou(rows, cols)  # [tile, tile]
+            return sup | jnp.any(
+                (iou > iou_threshold) & kept_c[None, :], axis=1
+            )
 
-        earlier_kept = keep & (positions < start)
-        cross_sup = jnp.any(over & earlier_kept[None, :], axis=1)
+        cross_sup = jax.lax.fori_loop(0, t, chunk_body, jnp.zeros((tile,), bool))
         active0 = row_valid & ~cross_sup
 
-        tile_over = jax.lax.dynamic_slice(over, (0, start), (tile, tile))
+        tile_iou, _ = box_iou(rows, rows)
         local = jnp.arange(tile)
         strict_upper = local[:, None] < local[None, :]
-        active = _self_suppression_fixpoint(active0, tile_over & strict_upper)
+        active = _self_suppression_fixpoint(
+            active0, (tile_iou > iou_threshold) & strict_upper
+        )
 
-        return jax.lax.dynamic_update_slice(keep, active, (start,))
+        keep = jax.lax.dynamic_update_slice(keep, active, (start,))
+        return t + 1, keep, count + active.sum(dtype=jnp.int32)
+
+    # Early exit: the first post_k kept boxes (produced in score order)
+    # fully determine the output; later tiles cannot alter them, only
+    # append beyond post_k. return_mask needs the complete sweep.
+    stop_count = n_pad + 1 if return_mask else post_k
+
+    def tile_cond(state):
+        t, _, count = state
+        return jnp.logical_and(t < num_tiles, count < stop_count)
 
     import os
 
@@ -142,8 +163,10 @@ def nms(
             sorted_boxes, sorted_valid, float(iou_threshold), tile=tile
         )
     else:
-        keep = jax.lax.fori_loop(
-            0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool)
+        _, keep, _ = jax.lax.while_loop(
+            tile_cond,
+            tile_body,
+            (jnp.int32(0), jnp.zeros((n_pad,), dtype=bool), jnp.int32(0)),
         )
 
     # First `post_k` kept boxes in score order -> fixed index buffer.
