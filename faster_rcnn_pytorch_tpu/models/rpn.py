@@ -101,21 +101,31 @@ def propose(
     ok = (ws >= min_size) & (hs >= min_size)
     score = jnp.where(ok, fg, -jnp.inf)
 
-    top_scores, top_idx = jax.lax.top_k(score, pre_k)
-    top_boxes = boxes[top_idx]
-    top_valid = top_scores > -jnp.inf
+    # One multi-operand stable sort carries the box columns with the
+    # scores (a top_k + [pre_k,4] gather costs ~ms on TPU); the pre-NMS
+    # budget then becomes a rank-validity mask and the sorted arrays feed
+    # NMS directly. The kept boxes come back from NMS's internal one-hot
+    # matmul (return_boxes) — no gathers anywhere on this path.
+    n = score.shape[0]
+    neg, bx1, by1, bx2, by2 = jax.lax.sort(
+        (-score, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]),
+        num_keys=1,
+        is_stable=True,
+    )
+    sorted_scores = -neg
+    sorted_boxes = jnp.stack([bx1, by1, bx2, by2], axis=-1)
+    in_budget = (jnp.arange(n) < pre_k) & (sorted_scores > -jnp.inf)
 
-    keep_idx, keep_valid = nms(
-        top_boxes,
-        top_scores,
+    _, keep_valid, rois, scores = nms(
+        sorted_boxes,
+        sorted_scores,
         nms_iou,
         post_k=post_k,
-        valid=top_valid,
+        valid=in_budget,
         tile=nms_tile,
+        assume_sorted=True,
+        return_boxes=True,
     )
-    safe = jnp.where(keep_valid, keep_idx, 0)
-    rois = jnp.where(keep_valid[:, None], top_boxes[safe], 0.0)
-    scores = jnp.where(keep_valid, top_scores[safe], 0.0)
     return Proposals(
         rois=jax.lax.stop_gradient(rois),
         valid=keep_valid,
