@@ -265,16 +265,28 @@ def build_dataloader(opts) -> tuple[DetectionLoader, DetectionLoader]:
     )
 
     if opts.data_type == "voc":
-        from faster_rcnn_pytorch_tpu.data.voc import load_voc_records
+        from faster_rcnn_pytorch_tpu.data.voc import (
+            download_voc,
+            load_voc_records,
+        )
 
+        download_voc(opts.data_root)
         train_recs = load_voc_records(opts.data_root, "trainval")
         test_recs = load_voc_records(opts.data_root, "test")
+        if not train_recs and not test_recs:
+            raise FileNotFoundError(
+                f"no VOC records found under {opts.data_root!r}"
+            )
         opts.num_classes = 21
     elif opts.data_type == "coco":
         import os
 
-        from faster_rcnn_pytorch_tpu.data.coco import load_coco_records
+        from faster_rcnn_pytorch_tpu.data.coco import (
+            download_coco,
+            load_coco_records,
+        )
 
+        download_coco(opts.data_root)
         ann = os.path.join(opts.data_root, "annotations")
         train_recs, _ = load_coco_records(
             os.path.join(opts.data_root, "train2017"),
