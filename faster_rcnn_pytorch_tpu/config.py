@@ -24,6 +24,7 @@ class Options:
     log_backend: str = "tensorboard"  # visdom-equivalent live plots
     # data
     resize: int = 800
+    max_size: int = 1333
     mosaic_transform: bool = False
     data_root: str = "./data"
     data_type: str = "voc"  # voc | coco

@@ -302,16 +302,18 @@ def build_dataloader(opts) -> tuple[DetectionLoader, DetectionLoader]:
     else:
         raise ValueError(f"unknown data_type {opts.data_type!r}")
 
-    train_tf = TrainAugment(size=opts.resize)
-    test_tf = EvalTransform(size=opts.resize)
+    train_tf = TrainAugment(size=opts.resize, max_size=opts.max_size)
+    test_tf = EvalTransform(size=opts.resize, max_size=opts.max_size)
     per_host_batch = max(opts.batch_size // opts.num_hosts, 1)
     train = DetectionLoader(
         train_recs,
         train_tf,
         batch_size=per_host_batch,
         size=opts.resize,
+        max_size=opts.max_size,
         shuffle=True,
         mosaic_prob=0.5 if opts.mosaic_transform else 0.0,
+        max_gt=opts.max_gt,
         num_workers=opts.num_workers,
         shard_id=opts.host_id,
         num_shards=opts.num_hosts,
@@ -322,6 +324,7 @@ def build_dataloader(opts) -> tuple[DetectionLoader, DetectionLoader]:
         test_tf,
         batch_size=1,
         size=opts.resize,
+        max_size=opts.max_size,
         shuffle=False,
         num_workers=opts.num_workers,
         shard_id=opts.host_id,

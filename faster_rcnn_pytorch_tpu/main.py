@@ -78,8 +78,13 @@ def main(argv=None) -> int:
     opts.host_id = jax.process_index()
     opts.num_hosts = jax.process_count()
 
-    mesh = make_mesh(opts.num_devices)
-    print0(f"devices: {mesh.devices.size}, hosts: {opts.num_hosts}")
+    # Mesh size must divide the per-host batch (batch sharded over the
+    # `data` axis); pick the largest compatible device count.
+    avail = opts.num_devices or len(jax.devices())
+    per_host_batch = max(opts.batch_size // opts.num_hosts, 1)
+    n_dev = max(k for k in range(1, avail + 1) if per_host_batch % k == 0)
+    mesh = make_mesh(n_dev)
+    print0(f"devices: {mesh.devices.size}/{avail}, hosts: {opts.num_hosts}")
 
     train_loader, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
