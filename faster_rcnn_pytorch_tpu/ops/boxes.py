@@ -130,8 +130,26 @@ def masked_iou(
 
     Padded gt slots (``gt_mask == False``) get IoU ``-1`` so that
     downstream argmax/threshold logic can never select them while still
-    operating on static shapes.
+    operating on static shapes. Large 2-D problems (the per-anchor
+    assignment matrix, ~200k x G in the FPN generation) dispatch to the
+    blocked Pallas kernel on TPU.
     """
+    if (
+        boxes.ndim == 2
+        and boxes.shape[0] * gt.shape[0] >= (1 << 20)
+    ):
+        from faster_rcnn_pytorch_tpu.ops.roi_pool import use_pallas_ops
+
+        if use_pallas_ops():
+            from faster_rcnn_pytorch_tpu.ops.pallas.iou_kernel import (
+                pairwise_iou_pallas,
+            )
+
+            m_pad = max(-(-gt.shape[0] // 128) * 128, 128)
+            iou = pairwise_iou_pallas(
+                boxes, gt, eps=eps, block_n=512, block_m=min(m_pad, 512)
+            )
+            return jnp.where(gt_mask[..., None, :], iou, -1.0)
     iou = jaccard_iou(boxes, gt, eps=eps)
     return jnp.where(gt_mask[..., None, :], iou, -1.0)
 
