@@ -63,6 +63,8 @@ class Options:
     coordinator: str = ""  # multi-host jax.distributed coordinator addr
     # numerics
     dtype: str = "bfloat16"
+    # observability
+    profile: bool = False  # jax.profiler trace around the first epoch
 
 
 def parse_config_file(path: str) -> dict[str, str]:

@@ -129,11 +129,17 @@ def main(argv=None) -> int:
     writer = ScalarWriter(opts.log_dir, opts.name, opts.log_backend)
     label_map = label_map_for(opts, coco_index)
 
+    from faster_rcnn_pytorch_tpu.utils.logging import trace_context
+
     best_map = -1.0
     for epoch in range(opts.start_epoch, opts.epoch):
-        state = train_one_epoch(
-            state, step_fn, train_loader, mesh, epoch, opts, schedule, writer
-        )
+        with trace_context(
+            f"{opts.log_dir}/{opts.name}/trace",
+            enabled=opts.profile and epoch == opts.start_epoch,
+        ):
+            state = train_one_epoch(
+                state, step_fn, train_loader, mesh, epoch, opts, schedule, writer
+            )
         result = evaluate(
             model,
             cfg,
