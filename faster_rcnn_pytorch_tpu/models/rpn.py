@@ -102,19 +102,25 @@ def propose(
     score = jnp.where(ok, fg, -jnp.inf)
 
     # One multi-operand stable sort carries the box columns with the
-    # scores (a top_k + [pre_k,4] gather costs ~ms on TPU); the pre-NMS
-    # budget then becomes a rank-validity mask and the sorted arrays feed
-    # NMS directly. The kept boxes come back from NMS's internal one-hot
-    # matmul (return_boxes) — no gathers anywhere on this path.
+    # scores (a top_k + [pre_k,4] gather costs ~ms on TPU). The pre-NMS
+    # budget is then a *static slice* of the sorted arrays — free, and it
+    # keeps every downstream NMS buffer at pre_k rather than the full
+    # anchor count (the FPN generation has ~255k anchors; an un-sliced
+    # packing one-hot would be a ~1 GB intermediate). The kept boxes come
+    # back from NMS's internal one-hot matmul (return_boxes) — no gathers
+    # anywhere on this path.
     n = score.shape[0]
     neg, bx1, by1, bx2, by2 = jax.lax.sort(
         (-score, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]),
         num_keys=1,
         is_stable=True,
     )
-    sorted_scores = -neg
-    sorted_boxes = jnp.stack([bx1, by1, bx2, by2], axis=-1)
-    in_budget = (jnp.arange(n) < pre_k) & (sorted_scores > -jnp.inf)
+    k = min(pre_k, n)
+    sorted_scores = -neg[:k]
+    sorted_boxes = jnp.stack(
+        [bx1[:k], by1[:k], bx2[:k], by2[:k]], axis=-1
+    )
+    in_budget = sorted_scores > -jnp.inf
 
     _, keep_valid, rois, scores = nms(
         sorted_boxes,
