@@ -51,52 +51,63 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray):
     return inter / np.maximum(union, 1e-12)
 
 
-def _evaluate_image(dets, det_scores, gts, gt_crowd, gt_area, area_rng, max_det):
+def _last_argmax(values: np.ndarray) -> int:
+    """argmax with later-index tie-breaking (pycocotools updates on >=)."""
+    return len(values) - 1 - int(np.argmax(values[::-1]))
+
+
+def _evaluate_image(
+    dets, det_scores, gts, gt_crowd, gt_area, area_rng, max_det, ious=None
+):
     """Match one (image, category) pair at every IoU threshold.
+
+    ``dets``/``det_scores`` must already be sorted by descending score and
+    ``ious`` (optional precomputed) aligned with that order; matching
+    processes at most ``max_det`` detections. Because greedy matching
+    processes detections in score order, the result for a smaller
+    ``max_det`` is a prefix of the result for a larger one — callers
+    evaluate once at the largest budget and slice.
 
     Returns dict with per-det match info and ignore masks, or None when
     nothing to evaluate.
     """
     a0, a1 = area_rng
     gt_ignore = gt_crowd | (gt_area < a0) | (gt_area > a1)
-    # ignore-last stable gt order (pycocotools sorts by ignore flag).
-    gt_order = np.argsort(gt_ignore, kind="stable")
-    gts = gts[gt_order]
-    gt_ignore = gt_ignore[gt_order]
-    gt_crowd_s = gt_crowd[gt_order]
-
-    det_order = np.argsort(-det_scores, kind="stable")[:max_det]
-    dets = dets[det_order]
-    det_scores = det_scores[det_order]
+    dets = dets[:max_det]
+    det_scores = det_scores[:max_det]
 
     if not len(dets) and not len(gts):
         return None
 
-    ious = _iou_matrix(dets, gts, gt_crowd_s)
+    if ious is None:
+        ious = _iou_matrix(dets, gts, gt_crowd)
+    else:
+        ious = ious[:max_det]
+
     t_count = len(IOU_THRS)
     d_count = len(dets)
     g_count = len(gts)
     det_match = -np.ones((t_count, d_count), dtype=np.int64)
     det_ignore = np.zeros((t_count, d_count), dtype=bool)
-    gt_match = -np.ones((t_count, g_count), dtype=np.int64)
 
+    not_ignored = ~gt_ignore
     for ti, thr in enumerate(IOU_THRS):
+        thr_eff = min(thr, 1 - 1e-10)
+        gt_taken = np.zeros(g_count, dtype=bool)
         for di in range(d_count):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for gi in range(g_count):
-                if gt_match[ti, gi] >= 0 and not gt_crowd_s[gi]:
+            row = ious[di]
+            ok = (~gt_taken | gt_crowd) & (row >= thr_eff)
+            # A real (non-ignored) gt wins over any ignored gt regardless
+            # of IoU (pycocotools' break rule on the ignore-last order).
+            pool = ok & not_ignored
+            if not pool.any():
+                pool = ok & gt_ignore
+                if not pool.any():
                     continue
-                if best_g >= 0 and not gt_ignore[best_g] and gt_ignore[gi]:
-                    break  # real match found; remaining gts are all ignored
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                best_g = gi
-            if best_g >= 0:
-                det_match[ti, di] = best_g
-                det_ignore[ti, di] = gt_ignore[best_g]
-                gt_match[ti, best_g] = di
+            best_g = _last_argmax(np.where(pool, row, -1.0))
+            det_match[ti, di] = best_g
+            det_ignore[ti, di] = gt_ignore[best_g]
+            gt_taken[best_g] = True
 
     det_area = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
     out_of_range = (det_area < a0) | (det_area > a1)
@@ -169,7 +180,13 @@ class CocoEvaluator:
                     (img_id, ann["category_id"]), []
                 ).append(ann)
 
+        max_budget = max(MAX_DETS)
         for ki, cat in enumerate(cat_ids):
+            # Per (image, cat): sort detections once, compute the IoU
+            # matrix once; matching runs once per area range at the
+            # largest maxDets budget — smaller budgets are prefixes
+            # (greedy matching processes dets in score order, so later
+            # dets never affect earlier ones).
             per_image = {}
             for img_id in img_ids:
                 pred = self.predictions[img_id]
@@ -189,21 +206,33 @@ class CocoEvaluator:
                     [a.get("area", a["bbox"][2] * a["bbox"][3]) for a in anns],
                     np.float64,
                 )
+                boxes = pred["boxes"][sel]
+                scores = pred["scores"][sel]
+                order = np.argsort(-scores, kind="stable")[:max_budget]
+                boxes, scores = boxes[order], scores[order]
+                ious = _iou_matrix(boxes, gt_boxes, gt_crowd)
                 per_image[img_id] = (
-                    pred["boxes"][sel],
-                    pred["scores"][sel],
-                    gt_boxes,
-                    gt_crowd,
-                    gt_area,
+                    boxes, scores, gt_boxes, gt_crowd, gt_area, ious
                 )
 
             for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+                full_evals = {}
+                for i in img_ids:
+                    b, s, g, c, a, io = per_image[i]
+                    full_evals[i] = _evaluate_image(
+                        b, s, g, c, a, arng, max_budget, ious=io
+                    )
                 for mi, max_det in enumerate(MAX_DETS):
                     evals = [
-                        _evaluate_image(*per_image[i], arng, max_det)
-                        for i in img_ids
+                        {
+                            "det_scores": e["det_scores"][:max_det],
+                            "det_matched": e["det_matched"][:, :max_det],
+                            "det_ignore": e["det_ignore"][:, :max_det],
+                            "num_gt": e["num_gt"],
+                        }
+                        for e in full_evals.values()
+                        if e is not None
                     ]
-                    evals = [e for e in evals if e is not None]
                     if not evals:
                         continue
                     scores = np.concatenate([e["det_scores"] for e in evals])
