@@ -101,25 +101,28 @@ def propose(
     ok = (ws >= min_size) & (hs >= min_size)
     score = jnp.where(ok, fg, -jnp.inf)
 
-    # One multi-operand stable sort carries the box columns with the
-    # scores (a top_k + [pre_k,4] gather costs ~ms on TPU). The pre-NMS
-    # budget is then a *static slice* of the sorted arrays — free, and it
-    # keeps every downstream NMS buffer at pre_k rather than the full
-    # anchor count (the FPN generation has ~255k anchors; an un-sliced
-    # packing one-hot would be a ~1 GB intermediate). The kept boxes come
-    # back from NMS's internal one-hot matmul (return_boxes) — no gathers
-    # anywhere on this path.
+    # Two regimes for the top-pre_k selection (both end with descending
+    # scores, so NMS skips its own sort):
+    # * small anchor sets (legacy single-scale, ~22k): one multi-operand
+    #   stable sort carries the box columns with the scores and a static
+    #   pre_k slice is free — no gather anywhere,
+    # * large anchor sets (FPN, ~255k): the full 5-operand sort costs
+    #   hundreds of ms; lax.top_k + a [pre_k, 4] gather is far cheaper.
     n = score.shape[0]
-    neg, bx1, by1, bx2, by2 = jax.lax.sort(
-        (-score, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]),
-        num_keys=1,
-        is_stable=True,
-    )
     k = min(pre_k, n)
-    sorted_scores = -neg[:k]
-    sorted_boxes = jnp.stack(
-        [bx1[:k], by1[:k], bx2[:k], by2[:k]], axis=-1
-    )
+    if n <= 65536:
+        neg, bx1, by1, bx2, by2 = jax.lax.sort(
+            (-score, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]),
+            num_keys=1,
+            is_stable=True,
+        )
+        sorted_scores = -neg[:k]
+        sorted_boxes = jnp.stack(
+            [bx1[:k], by1[:k], bx2[:k], by2[:k]], axis=-1
+        )
+    else:
+        sorted_scores, top_idx = jax.lax.top_k(score, k)
+        sorted_boxes = boxes[top_idx]
     in_budget = sorted_scores > -jnp.inf
 
     _, keep_valid, rois, scores = nms(
