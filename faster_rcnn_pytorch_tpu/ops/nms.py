@@ -350,6 +350,29 @@ def multiclass_nms(
     fg_probs = jnp.swapaxes(cls_probs[:, 1:num_classes], 0, 1)  # [C-1,n]
     fg_valid = fg_probs > score_threshold
 
+    if n_fg * fg_boxes.shape[1] <= 16384:
+        # Small flattened size (legacy: 20 classes x 300 rois): one
+        # offset-trick pass beats C-1 vmapped sweeps.
+        flat_boxes = fg_boxes.reshape(-1, 4)
+        flat_probs = fg_probs.reshape(-1)
+        flat_labels = jnp.repeat(
+            jnp.arange(n_fg, dtype=jnp.int32), fg_boxes.shape[1]
+        )
+        keep_idx, keep_valid = batched_nms(
+            flat_boxes,
+            flat_probs,
+            flat_labels,
+            iou_threshold,
+            post_k=max_det,
+            valid=fg_valid.reshape(-1),
+            tile=tile,
+        )
+        safe = jnp.where(keep_valid, keep_idx, 0)
+        out_boxes = jnp.where(keep_valid[:, None], flat_boxes[safe], 0.0)
+        out_scores = jnp.where(keep_valid, flat_probs[safe], 0.0)
+        out_labels = jnp.where(keep_valid, flat_labels[safe], -1)
+        return out_boxes, out_labels, out_scores, keep_valid
+
     def one_class(b, p, v):
         _, ok, kept_boxes, kept_scores = nms(
             b,
