@@ -107,6 +107,39 @@ def test_batched_nms_classes_dont_interact():
     assert np.asarray(ok).sum() == 2  # same box, different class: both kept
 
 
+def test_multiclass_nms_vmapped_branch_matches_oracle():
+    """Same oracle, sized above the flatten threshold so the vmapped
+    per-class branch runs."""
+    rs = np.random.RandomState(33)
+    n, num_classes = 300, 60
+    cls_boxes = np.stack(
+        [boxes_fixture(rs, n) for _ in range(num_classes)], axis=1
+    )
+    logits = rs.normal(size=(n, num_classes)).astype(np.float32) * 2
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    thres = 0.2
+    want = []
+    for l in range(1, num_classes):
+        m = probs[:, l] > thres
+        keep = np_greedy_nms(cls_boxes[m, l], probs[m, l], 0.3)
+        for k in keep:
+            want.append((l - 1, float(probs[m, l][k])))
+    want = sorted(want, key=lambda t: -t[1])[:100]
+
+    b, lab, s, ok = multiclass_nms(
+        jnp.asarray(cls_boxes), jnp.asarray(probs), thres, 0.3,
+        num_classes=num_classes, per_class_k=100, max_det=100, tile=128,
+    )
+    got = sorted(
+        [(int(lab[i]), float(s[i])) for i in range(100) if np.asarray(ok)[i]],
+        key=lambda t: -t[1],
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        np.testing.assert_allclose(g[1], w[1], atol=1e-6)
+
+
 def test_multiclass_nms_matches_reference_suppress():
     """Oracle: the reference _suppress loop (models/model.py:382-402)."""
     rs = np.random.RandomState(21)
