@@ -132,6 +132,63 @@ def random_crop(
     return out, clipped[keep], labels[keep]
 
 
+def center_crop(image: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                ch: int, cw: int):
+    """Deterministic center crop (new_datasets/transforms.py CenterCrop)."""
+    h, w = image.shape[:2]
+    top = max((h - ch) // 2, 0)
+    left = max((w - cw) // 2, 0)
+    out = image[top : top + ch, left : left + cw]
+    if not len(boxes):
+        return out, boxes, labels
+    shifted = boxes - np.array([left, top, left, top], np.float32)
+    shifted[:, [0, 2]] = shifted[:, [0, 2]].clip(0, out.shape[1])
+    shifted[:, [1, 3]] = shifted[:, [1, 3]].clip(0, out.shape[0])
+    keep = (shifted[:, 2] > shifted[:, 0]) & (shifted[:, 3] > shifted[:, 1])
+    return out, shifted[keep], labels[keep]
+
+
+def random_pad(image: np.ndarray, boxes: np.ndarray,
+               rng: np.random.RandomState, max_pad: int):
+    """Pad right/bottom by a random amount (new transforms RandomPad)."""
+    pr, pb = rng.randint(0, max_pad + 1, size=2)
+    out = np.pad(image, ((0, pb), (0, pr), (0, 0)))
+    return out, boxes
+
+
+def random_erasing(image: np.ndarray, rng: np.random.RandomState,
+                   scale=(0.02, 0.33), ratio=(0.3, 3.3), p: float = 0.5):
+    """Random rectangle erasure (new transforms RandomErasing)."""
+    if rng.rand() >= p:
+        return image
+    h, w = image.shape[:2]
+    area = h * w * rng.uniform(*scale)
+    aspect = rng.uniform(*ratio)
+    eh = int(round(np.sqrt(area * aspect)))
+    ew = int(round(np.sqrt(area / aspect)))
+    if eh >= h or ew >= w or eh < 1 or ew < 1:
+        return image
+    top = rng.randint(0, h - eh)
+    left = rng.randint(0, w - ew)
+    out = image.copy()
+    out[top : top + eh, left : left + ew] = rng.randint(
+        0, 256, (eh, ew, image.shape[2]), dtype=np.uint8
+    )
+    return out
+
+
+class RandomSelect:
+    """Apply transform A with probability p, else B
+    (datasets/transforms_.py RandomSelect)."""
+
+    def __init__(self, transform_a, transform_b, p: float = 0.5):
+        self.a, self.b, self.p = transform_a, transform_b, p
+
+    def __call__(self, image, boxes, labels, rng):
+        t = self.a if rng.rand() < self.p else self.b
+        return t(image, boxes, labels, rng)
+
+
 def normalize(image: np.ndarray) -> np.ndarray:
     """uint8 HWC -> float32 ImageNet-normalised."""
     return (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
@@ -144,14 +201,18 @@ class TrainAugment:
 
     def __init__(
         self,
-        size: int = 800,
+        size: int | tuple[int, ...] = 800,
         max_size: int = 1333,
         hflip_prob: float = 0.5,
         photometric: bool = False,
         zoom_out_prob: float = 0.0,
         crop_prob: float = 0.0,
     ):
-        self.size = size
+        # A tuple of sizes gives DETR-style multi-scale RandomResize; all
+        # results must fit the loader's static canvas, so the largest size
+        # defines the canvas bucket.
+        self.sizes = (size,) if isinstance(size, int) else tuple(size)
+        self.size = max(self.sizes)
         self.max_size = max_size
         self.hflip_prob = hflip_prob
         self.photometric = photometric
@@ -169,7 +230,8 @@ class TrainAugment:
             )
         if rng.rand() < self.hflip_prob:
             image, boxes = hflip(image, boxes)
-        image, boxes = resize_min_side(image, boxes, self.size, self.max_size)
+        size = self.sizes[rng.randint(len(self.sizes))]
+        image, boxes = resize_min_side(image, boxes, size, self.max_size)
         return image, boxes, labels
 
 

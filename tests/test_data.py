@@ -145,6 +145,53 @@ def test_normalize_range():
     assert (out > 1.5).all()  # (1 - mean)/std > 1.5 for all channels
 
 
+def test_center_crop_keeps_inside_boxes():
+    from faster_rcnn_pytorch_tpu.data.transforms import center_crop
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[40, 40, 60, 60], [0, 0, 5, 5]], np.float32)
+    out, b, l = center_crop(img, boxes, np.array([1, 2]), 50, 50)
+    assert out.shape == (50, 50, 3)
+    assert len(b) == 1 and l[0] == 1
+    np.testing.assert_allclose(b[0], [15, 15, 35, 35])
+
+
+def test_random_pad_and_erasing():
+    from faster_rcnn_pytorch_tpu.data.transforms import (
+        random_erasing,
+        random_pad,
+    )
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (40, 50, 3), np.uint8)
+    out, boxes = random_pad(img, np.zeros((0, 4), np.float32), rs, 8)
+    assert out.shape[0] >= 40 and out.shape[1] >= 50
+    erased = random_erasing(img, np.random.RandomState(1), p=1.0)
+    assert erased.shape == img.shape
+    assert (erased != img).any()
+
+
+def test_random_select_and_multiscale():
+    from faster_rcnn_pytorch_tpu.data.transforms import RandomSelect
+
+    rs = np.random.RandomState(2)
+    a = lambda i, b, l, r: ("a", b, l)  # noqa: E731
+    b_t = lambda i, b, l, r: ("b", b, l)  # noqa: E731
+    sel = RandomSelect(a, b_t, p=0.5)
+    seen = {sel(None, None, None, rs)[0] for _ in range(20)}
+    assert seen == {"a", "b"}
+
+    tf = TrainAugment(size=(48, 64, 96), max_size=128, hflip_prob=0.0)
+    img = np.zeros((120, 90, 3), np.uint8)
+    sizes = set()
+    for s in range(10):
+        out, _, _ = tf(img, np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+                       np.random.RandomState(s))
+        sizes.add(min(out.shape[:2]))
+    assert len(sizes) > 1
+    assert max(sizes) <= 96
+
+
 def test_mosaic_output():
     rs = np.random.RandomState(3)
     items = []
