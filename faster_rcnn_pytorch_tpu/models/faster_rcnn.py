@@ -57,6 +57,7 @@ class DetectorConfig:
     pre_nms_test: int = 6000
     post_nms_test: int = 300
     rpn_nms_iou: float = 0.7
+    rpn_nms_tile: int = 512
     proposal_min_size: float = 1.0 / 1000.0
     # RoI sampling (models/model.py:144-158 / new_model.py:169-182).
     roi_samples: int = 128
@@ -276,6 +277,7 @@ def forward_train(
             post_k=cfg.post_nms_train,
             nms_iou=cfg.rpn_nms_iou,
             min_size=cfg.proposal_min_size,
+            nms_tile=cfg.rpn_nms_tile,
         )
         rpn_tg = rpn_targets(
             anchors,
@@ -368,6 +370,7 @@ def predict(
             post_k=cfg.post_nms_test,
             nms_iou=cfg.rpn_nms_iou,
             min_size=cfg.proposal_min_size,
+            nms_tile=cfg.rpn_nms_tile,
         )
     )(rpn_cls, rpn_reg, extents)
 
