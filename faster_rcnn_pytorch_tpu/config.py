@@ -88,7 +88,7 @@ def parse_config_file(path: str) -> dict[str, str]:
 _BOOL_TRUE = {"1", "true", "yes", "on"}
 
 
-def _coerce(value: str, field_type: Any):
+def _coerce(value: str, field_type: Any, key: str = ""):
     if field_type is bool:
         return value.lower() in _BOOL_TRUE
     if field_type is tuple:
@@ -96,6 +96,11 @@ def _coerce(value: str, field_type: Any):
     try:
         return field_type(value)
     except (TypeError, ValueError):
+        if field_type in (int, float):
+            raise SystemExit(
+                f"invalid value for --{key or 'option'}: {value!r} "
+                f"(expected {field_type.__name__})"
+            )
         return value
 
 
@@ -119,11 +124,11 @@ def load_options(argv: list[str] | None = None) -> Options:
     if args.config:
         for k, v in parse_config_file(args.config).items():
             if k in fields:
-                setattr(opts, k, _coerce(v, _runtime_type(fields[k])))
+                setattr(opts, k, _coerce(v, _runtime_type(fields[k]), k))
     for k, f in fields.items():
         v = getattr(args, k, None)
         if v is not None:
-            setattr(opts, k, _coerce(v, _runtime_type(f)))
+            setattr(opts, k, _coerce(v, _runtime_type(f), k))
     return opts
 
 

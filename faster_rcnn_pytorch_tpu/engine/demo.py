@@ -62,7 +62,7 @@ def demo(model, cfg, params, opts) -> list[dict]:
     os.makedirs(out_dir, exist_ok=True)
     names = class_names(opts.data_type, opts.model_generation)
     colors = class_colors(len(names))
-    thres = max(opts.thres, 0.5)
+    thres = opts.thres  # used as-is, like the reference (demo.py:43)
 
     @functools.partial(jax.jit)
     def predict_fn(p, image, extent):
@@ -86,6 +86,7 @@ def demo(model, cfg, params, opts) -> list[dict]:
         labels = np.asarray(det.labels[0])[valid]
         scores = np.asarray(det.scores[0])[valid]
         results.append({"path": path, "boxes": boxes, "labels": labels, "scores": scores})
+        print(f"{os.path.basename(path)}: {len(scores)} detections (thres={thres})")
         if opts.demo_vis:
             try:
                 import cv2

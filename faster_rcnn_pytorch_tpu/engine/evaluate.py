@@ -19,10 +19,14 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
 from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
-def _jitted_predict(model, cfg):
+def _jitted_predict(model, cfg, score_threshold=None):
+    # score_threshold is closed over as a static Python float (it gates a
+    # comparison inside the statically-shaped multiclass NMS).
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, images, extents):
-        return model.apply(params, cfg, images, extents, method=predict)
+        return model.apply(
+            params, cfg, images, extents, score_threshold, method=predict
+        )
 
     return fn
 
@@ -54,6 +58,7 @@ def evaluate(
     label_map=None,
     score_threshold: float | None = None,
     max_images: int | None = None,
+    max_detections: int | None = None,
 ) -> dict:
     """Run the full eval pass; returns {"map": ..., "stats": ...}.
 
@@ -61,8 +66,18 @@ def evaluate(
       label_map: callable mapping model 0-based foreground label ->
         dataset category id. Defaults: identity (voc), contiguous->cat
         (coco legacy) must be supplied by the caller.
+      max_detections: per-image detection budget. Default: COCO keeps the
+        protocol's maxDets=100; VOC keeps every per-class NMS survivor
+        like the reference ``_suppress`` (models/model.py:382-402 has no
+        cap) — post_k rois x (C-1) classes is an exact uncapped budget.
     """
-    predict_fn = _jitted_predict(model, cfg)
+    import dataclasses
+
+    if max_detections is None and data_type == "voc":
+        max_detections = cfg.post_nms_test * (cfg.num_classes - 1)
+    if max_detections is not None and max_detections != cfg.max_detections:
+        cfg = dataclasses.replace(cfg, max_detections=max_detections)
+    predict_fn = _jitted_predict(model, cfg, score_threshold)
     label_map = label_map or (lambda x: x)
 
     predictions: dict[int, dict] = {}
@@ -92,14 +107,26 @@ def evaluate(
         if max_images and n_img >= max_images:
             break
     infer_time = time.time() - t0
+    n_det = sum(len(p["scores"]) for p in predictions.values())
     print0(
         f"eval inference: {n_img} images in {infer_time:.1f}s "
-        f"({n_img / max(infer_time, 1e-9):.2f} img/s)"
+        f"({n_img / max(infer_time, 1e-9):.2f} img/s), "
+        f"{n_det} detections above threshold"
     )
 
     if data_type == "voc":
         from faster_rcnn_pytorch_tpu.data.voc import VOC_CLASSES
         from faster_rcnn_pytorch_tpu.evaluation.voc_eval import voc_eval
+        from faster_rcnn_pytorch_tpu.parallel.mesh import allgather_pyobj
+
+        # Merge per-host shards like the COCO path (each host evaluated a
+        # disjoint slice of the val set).
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            for p, g in allgather_pyobj((predictions, gts)):
+                predictions.update(p)
+                gts.update(g)
 
         out = voc_eval(
             predictions,

@@ -142,24 +142,10 @@ class CocoEvaluator:
 
     def synchronize_between_processes(self) -> None:
         """Merge predictions across hosts (reference pickled all_gather,
-        util/misc.py:89-129). Multi-host JAX path uses
-        multihost_utils.process_allgather on the serialised dict."""
-        import jax
+        util/misc.py:89-129)."""
+        from faster_rcnn_pytorch_tpu.parallel.mesh import allgather_pyobj
 
-        if jax.process_count() == 1:
-            return
-        from jax.experimental import multihost_utils
-        import pickle
-
-        payload = pickle.dumps(self.predictions)
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        sizes = multihost_utils.process_allgather(np.array([arr.size]))
-        max_size = int(sizes.max())
-        padded = np.zeros(max_size, np.uint8)
-        padded[: arr.size] = arr
-        gathered = multihost_utils.process_allgather(padded)
-        for host, size in enumerate(np.asarray(sizes).reshape(-1)):
-            merged = pickle.loads(bytes(np.asarray(gathered)[host][: int(size)]))
+        for merged in allgather_pyobj(self.predictions):
             self.predictions.update(merged)
 
     def accumulate(self) -> None:

@@ -283,13 +283,14 @@ def forward_train(
             anchors,
             boxes_i,
             mask_i,
-            extent_i if cfg.rpn_boundary_filter else jnp.ones_like(extent_i) + 1e-6,
+            extent_i,
             rng_i[0],
             pos_iou=cfg.rpn_pos_iou,
             neg_iou=cfg.rpn_neg_iou,
             pos_quota=cfg.rpn_pos_quota,
             total_quota=cfg.rpn_total_quota,
             allow_ties=cfg.rpn_allow_ties,
+            boundary_filter=cfg.rpn_boundary_filter,
         )
         roi_tg = frcnn_targets(
             props.rois,

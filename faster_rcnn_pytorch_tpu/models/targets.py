@@ -65,6 +65,7 @@ def rpn_targets(
     pos_quota: int = 128,
     total_quota: int = 256,
     allow_ties: bool = False,
+    boundary_filter: bool = True,
 ) -> RPNTargets:
     """Assign {-1,0,1} labels + regression targets to every anchor.
 
@@ -74,19 +75,24 @@ def rpn_targets(
       gt_mask: ``[G]`` validity of gt slots.
       extent: ``[2]`` (w_frac, h_frac) valid image extent; anchors
         crossing it are ignored (legacy boundary filter,
-        models/model.py:189). Pass ``(1, 1)`` +eps to disable (FPN variant
-        skips the filter, models/new_model.py:303-307).
+        models/model.py:189).
       allow_ties: FPN variant marks *all* anchors tied at the per-gt max
         IoU positive (models/new_model.py:316-318); legacy takes a single
         argmax (models/model.py:213).
+      boundary_filter: ``False`` assigns labels to *every* anchor,
+        including ones extending past the canvas, like the FPN variant
+        (models/new_model.py:303-307 has no inside-image filter).
     """
     a = anchors.shape[0]
-    inside = (
-        (anchors[:, 0] >= 0.0)
-        & (anchors[:, 1] >= 0.0)
-        & (anchors[:, 2] <= extent[0])
-        & (anchors[:, 3] <= extent[1])
-    )
+    if boundary_filter:
+        inside = (
+            (anchors[:, 0] >= 0.0)
+            & (anchors[:, 1] >= 0.0)
+            & (anchors[:, 2] <= extent[0])
+            & (anchors[:, 3] <= extent[1])
+        )
+    else:
+        inside = jnp.ones((a,), bool)
 
     iou = masked_iou(anchors, gt_boxes, gt_mask)  # [A, G], -1 at padded gt
     iou = jnp.where(inside[:, None], iou, -1.0)
@@ -105,8 +111,14 @@ def rpn_targets(
         best_any = is_best.any(axis=1)
     else:
         per_gt_argmax = iou.argmax(axis=0)  # [G]
-        best_any = jnp.zeros((a,), bool).at[per_gt_argmax].set(
-            gt_mask & (per_gt_max > -1.0)
+        # .max, not .set: a padded gt's argmax over an all(-1) column is 0,
+        # and a duplicate-index scatter-set could clobber a real gt whose
+        # best anchor is also 0 with False.
+        best_any = (
+            jnp.zeros((a,), jnp.int32)
+            .at[per_gt_argmax]
+            .max((gt_mask & (per_gt_max > -1.0)).astype(jnp.int32))
+            > 0
         )
     labels = jnp.where(best_any & inside, 1, labels)
     labels = jnp.where(inside & (iou_max >= pos_iou), 1, labels)

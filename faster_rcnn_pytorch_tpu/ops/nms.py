@@ -290,9 +290,15 @@ def batched_nms(
     """Class-aware NMS via the coordinate-offset trick (one kernel pass).
 
     Boxes of different classes never suppress each other: each class's
-    boxes are shifted into a disjoint unit cell before a single greedy NMS.
+    boxes are shifted into a disjoint cell before a single greedy NMS.
+    Like torchvision's batched_nms, the cell stride is derived from the
+    data (max coordinate + 1), so boxes in any scale are handled.
     """
-    offsets = class_ids.astype(jnp.float32)[:, None] * 2.0
+    if valid is None:
+        max_coord = jnp.max(boxes)
+    else:
+        max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0))
+    offsets = class_ids.astype(jnp.float32)[:, None] * (max_coord + 1.0)
     shifted = boxes + offsets
     return nms(
         shifted, scores, iou_threshold, post_k=post_k, valid=valid, tile=tile

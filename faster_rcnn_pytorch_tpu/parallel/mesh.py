@@ -20,11 +20,26 @@ DATA_AXIS = "data"
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over local (or given) devices."""
+    """1-D data-parallel mesh.
+
+    Single-host: the first ``num_devices`` local devices (0 = all).
+    Multi-host: a *global* mesh over ``num_devices`` devices of **every**
+    process, ordered process-major so each host's batch shard lands on its
+    own devices (the reference's DistributedSampler+DDP layout).
+    """
     if devices is None:
-        devices = jax.devices()
-        if num_devices:
-            devices = devices[:num_devices]
+        if jax.process_count() > 1:
+            per_proc: dict[int, list] = {}
+            for d in jax.devices():
+                per_proc.setdefault(d.process_index, []).append(d)
+            devices = []
+            for p in sorted(per_proc):
+                local = sorted(per_proc[p], key=lambda d: d.id)
+                devices.extend(local[: num_devices or len(local)])
+        else:
+            devices = jax.local_devices()
+            if num_devices:
+                devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
@@ -33,9 +48,41 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch with the leading dim sharded over ``data``."""
+    """Place a per-host batch with the leading dim sharded over ``data``.
+
+    Multi-host: each process holds only its slice of the global batch;
+    ``make_array_from_process_local_data`` assembles the global array.
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def allgather_pyobj(obj):
+    """Gather one picklable object from every process; returns the list
+    ordered by process index (counterpart of the reference's pickled
+    ``all_gather``, util/misc.py:89-129). Single-process: ``[obj]``."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([payload.size]))
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(bytes(gathered[h][: int(s)]))
+        for h, s in enumerate(np.asarray(sizes).reshape(-1))
+    ]
 
 
 def replicate(tree, mesh: Mesh):

@@ -146,3 +146,21 @@ def test_fpn_predict(fpn):
     det = model.apply(params, SMALL_FPN, images, extents, method=predict)
     assert det.boxes.shape == (2, 10, 4)
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_predict_score_threshold_is_respected(legacy):
+    """A raised threshold must reduce (or zero) the surviving detections —
+    guards the eval/demo plumbing (reference: opts.thres used as-is)."""
+    model, params = legacy
+    rs = np.random.RandomState(7)
+    images, extents, *_ = make_batch(rs, b=1)
+    det_lo = model.apply(
+        params, SMALL_LEGACY, images, extents, 0.0, method=predict
+    )
+    det_hi = model.apply(
+        params, SMALL_LEGACY, images, extents, 0.999999, method=predict
+    )
+    n_lo = int(np.asarray(det_lo.valid).sum())
+    n_hi = int(np.asarray(det_hi.valid).sum())
+    assert n_hi < n_lo
+    assert n_lo > 0

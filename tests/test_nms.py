@@ -180,3 +180,20 @@ def test_multiclass_nms_matches_reference_suppress():
         assert g[0] == w[0]
         np.testing.assert_allclose(g[1], w[1], atol=1e-6)
         np.testing.assert_allclose(g[2], w[2], atol=1e-6)
+
+
+def test_batched_nms_pixel_scale_coords():
+    """Offset derived from data (torchvision-style): pixel-coordinate
+    boxes must not cross-suppress between classes."""
+    box = np.array([[100.0, 120.0, 400.0, 380.0]], np.float32)
+    boxes = np.tile(box, (3, 1))
+    boxes[2] += 2.0  # near-duplicate of box 0, same class
+    scores = np.array([0.9, 0.85, 0.8], np.float32)
+    cls = jnp.array([0, 1, 0])
+    idx, ok = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), cls, 0.5, post_k=3
+    )
+    ok = np.asarray(ok)
+    idx = np.asarray(idx)
+    assert ok.tolist() == [True, True, False]  # classes 0 and 1 kept once each
+    assert set(idx[ok].tolist()) == {0, 1}

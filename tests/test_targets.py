@@ -156,3 +156,52 @@ def test_frcnn_targets_exclude_invalid_rois():
     pool = np.concatenate([rois[valid], gt])
     for r in np.asarray(out.rois)[np.asarray(out.valid)]:
         assert np.abs(pool - r).sum(1).min() < 1e-6
+
+
+def test_boundary_filter_off_labels_outside_anchors():
+    """FPN variant (models/new_model.py:303-307): no inside-image filter —
+    anchors extending past the canvas still get 0/1 labels."""
+    rs = np.random.RandomState(7)
+    anchors = boxes_fixture(rs, 200)
+    anchors[:50] -= 0.5  # boundary-crossing
+    gt = np.array([[-0.3, -0.3, 0.1, 0.1]], np.float32)  # matches an outside anchor
+    anchors[0] = [-0.29, -0.31, 0.11, 0.09]
+    out = rpn_targets(
+        jnp.asarray(anchors),
+        jnp.asarray(gt),
+        jnp.ones(1, bool),
+        jnp.ones(2),
+        jax.random.key(0),
+        pos_quota=400,
+        total_quota=4000,
+        allow_ties=True,
+        boundary_filter=False,
+    )
+    labels = np.asarray(out.labels)
+    assert labels[0] == 1  # per-gt best anchor, despite being outside
+    # outside anchors far from gt become negatives, not ignore
+    assert (labels[1:50] == 0).any()
+
+
+def test_padded_gt_argmax_does_not_clobber_anchor0():
+    """A padded gt's argmax over an all(-1) IoU column is 0; the scatter
+    must not overwrite anchor 0's guaranteed-positive status when a real
+    gt's best anchor is also anchor 0."""
+    gt = np.array(
+        [[0.1, 0.1, 0.2, 0.2], [0.0, 0.0, 0.0, 0.0]], np.float32
+    )
+    mask = np.array([True, False])
+    # anchor 0 is the (only moderately overlapping) best match for gt 0
+    anchors = np.array(
+        [[0.1, 0.1, 0.25, 0.25], [0.6, 0.6, 0.9, 0.9]], np.float32
+    )
+    out = rpn_targets(
+        jnp.asarray(anchors),
+        jnp.asarray(gt),
+        jnp.asarray(mask),
+        jnp.ones(2),
+        jax.random.key(0),
+        pos_quota=10,
+        total_quota=100,
+    )
+    assert np.asarray(out.labels)[0] == 1
