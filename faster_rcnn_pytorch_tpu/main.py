@@ -49,7 +49,9 @@ from faster_rcnn_pytorch_tpu.utils.logging import ScalarWriter, is_main, print0
 
 def init_params(model, opts: Options):
     """Fresh init (or torch-checkpoint import when ``checkpoint`` points
-    at a ``.pth.tar``)."""
+    at a ``.pth.tar``), with optional ImageNet-pretrained backbone
+    bootstrap like the reference (models/model.py:275-281,
+    new_model.py:372)."""
     if opts.checkpoint.endswith((".pth.tar", ".pth")):
         sd = load_torch_state_dict(opts.checkpoint)
         importer = (
@@ -60,7 +62,17 @@ def init_params(model, opts: Options):
         return importer(sd, opts.num_classes)
     from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
 
-    return init_detector_params(model, jax.random.key(opts.seed))
+    params = init_detector_params(model, jax.random.key(opts.seed))
+    if opts.pretrained_backbone:
+        from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+            load_pretrained_backbone,
+        )
+
+        params = load_pretrained_backbone(
+            params, opts.pretrained_backbone, opts.model_generation
+        )
+        print0(f"backbone initialised from {opts.pretrained_backbone}")
+    return params
 
 
 def label_map_for(opts: Options, coco_index):

@@ -147,6 +147,92 @@ def import_legacy_torch_params(sd: dict, num_classes: int) -> dict:
     return {"params": p}
 
 
+def import_torchvision_vgg16(sd: dict) -> dict:
+    """Plain torchvision ``vgg16`` ImageNet state dict -> the
+    ``extractor`` param subtree of :class:`LegacyFRCNN`.
+
+    The reference bootstraps training from
+    ``vgg16(pretrained=True).features[:-1]`` (models/model.py:275-281);
+    only the 13 convs are pretrained — the 4096-wide classifier FCs are
+    freshly initialised ``nn.Linear`` there, so they are NOT imported.
+
+    Accepts ``features.{i}.*`` keys (optionally under a ``features``-only
+    dump or a full vgg16 dump with ``classifier.*``, which is ignored).
+    """
+    from faster_rcnn_pytorch_tpu.models.vgg import TORCH_VGG16_CONV_INDICES
+
+    extractor = {}
+    for k, torch_idx in enumerate(TORCH_VGG16_CONV_INDICES):
+        extractor[f"conv{k}"] = {
+            "kernel": _conv(sd[f"features.{torch_idx}.weight"]),
+            "bias": _t(sd[f"features.{torch_idx}.bias"]),
+        }
+    return extractor
+
+
+def import_torchvision_resnet50(sd: dict) -> dict:
+    """Plain torchvision ``resnet50`` ImageNet state dict -> the
+    ``backbone.body`` param subtree of :class:`FPNFRCNN` (frozen-BN stats
+    included; ``fc.*`` ignored).
+
+    The reference bootstraps from ``resnet_fpn_backbone('resnet50',
+    IMAGENET1K_V1)`` (models/new_model.py:372) — the body comes from
+    ImageNet, the FPN convs are freshly initialised there too.
+    """
+    body: dict[str, Any] = {
+        "conv1": {"kernel": _conv(sd["conv1.weight"])},
+        "bn1": _bn(sd, "bn1"),
+    }
+    for stage, blocks in enumerate((3, 4, 6, 3)):
+        for b in range(blocks):
+            t = f"layer{stage + 1}.{b}"
+            blk: dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.conv{ci}.weight"])}
+                blk[f"bn{ci}"] = _bn(sd, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["down_conv"] = {"kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                blk["down_bn"] = _bn(sd, f"{t}.downsample.1")
+            body[f"layer{stage + 1}_{b}"] = blk
+    return body
+
+
+def _merge_subtree(params: dict, path: tuple[str, ...], new: dict) -> dict:
+    """Replace ``params['params'][*path]`` with ``new``, checking that
+    every leaf shape matches the initialised template."""
+    import jax
+
+    params = flax.core.unfreeze(params)
+    node = params["params"]
+    for key in path[:-1]:
+        node = node[key]
+    old = node[path[-1]]
+    old_shapes = jax.tree.map(lambda x: tuple(x.shape), old)
+    new_shapes = jax.tree.map(lambda x: tuple(x.shape), new)
+    if old_shapes != new_shapes:
+        raise ValueError(
+            f"backbone import shape mismatch at {'.'.join(path)}:\n"
+            f"  model: {old_shapes}\n  import: {new_shapes}"
+        )
+    node[path[-1]] = new
+    return params
+
+
+def load_pretrained_backbone(params: dict, path: str, generation: str) -> dict:
+    """Merge an ImageNet-pretrained torchvision backbone state dict
+    (``vgg16`` / ``resnet50`` ``.pth``) into freshly initialised detector
+    params — the counterpart of the reference's pretrained bootstrap
+    (models/model.py:275-281, models/new_model.py:372)."""
+    sd = load_torch_state_dict(path)
+    if generation == "legacy":
+        return _merge_subtree(params, ("extractor",), import_torchvision_vgg16(sd))
+    if generation == "fpn":
+        return _merge_subtree(
+            params, ("backbone", "body"), import_torchvision_resnet50(sd)
+        )
+    raise ValueError(f"unknown generation: {generation!r}")
+
+
 def _bn(sd: dict, prefix: str) -> dict:
     return {
         "scale": _t(sd[f"{prefix}.weight"]),
