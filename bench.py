@@ -1,14 +1,17 @@
-"""Benchmark harness: single-chip inference throughput of the flagship
-LegacyFRCNN (VGG16) predict path at the reference's 800px eval resolution.
+"""Benchmark harness: every README perf row, measured on the attached chip.
 
-Prints ONE JSON line:
+Prints one JSON line per benchmark row; the FINAL line is the canonical
+headline metric (legacy VGG16 predict at the reference's 800px eval
+resolution):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no throughput numbers (BASELINE.md: FPS printed at
-runtime only, GPU model unstated); ``vs_baseline`` is computed against a
-measured-once PyTorch reference estimate stored below (single-image VGG16
-Faster R-CNN on a datacenter GPU is commonly ~5-15 FPS; we use 10 img/s
-as the nominal baseline until a GPU measurement exists).
+``vs_baseline`` compares against the *measured* reference floor in
+BASELINE_MEASURED.json (the reference's own predict path run verbatim on
+the installed torch-CPU — tools/measure_torch_baseline.py). The
+reference's GPU throughput is unpublished and unmeasured in this image
+(BASELINE.md); no nominal constants are used.
+
+Set FRT_BENCH_FULL=0 to emit only the headline row (faster driver runs).
 """
 
 from __future__ import annotations
@@ -19,68 +22,170 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: the predict program takes minutes to
+# Persistent compilation cache: full-model programs take minutes to
 # compile through the TPU tunnel; repeat bench runs reuse it.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-NOMINAL_BASELINE_IMG_PER_SEC = 10.0
-BATCH = 4
 CANVAS = 800
 WARMUP = 3
-ITERS = 40  # large N amortises the tunnelled-TPU queue ramp
+MAX_GT = 24
 
 
-def main() -> None:
+def _measured_baseline() -> tuple[float | None, str]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            b = json.load(f)
+        return float(b["value"]), b["metric"]
+    except (OSError, KeyError, ValueError):
+        return None, "unmeasured"
+
+
+def _run_pipelined(fn, feed, iters: int) -> float:
+    """Pipelined wall-clock over ``iters`` distinct inputs, one final
+    block (tunnel-safe: large N with device-resident inputs)."""
+    import jax
+
+    outs = [fn(*feed(i)) for i in range(WARMUP)]
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs = [fn(*feed(WARMUP + i)) for i in range(iters)]
+    jax.block_until_ready(outs)
+    return time.perf_counter() - t0
+
+
+def bench_predict(generation: str, batch: int, iters: int) -> float:
     import jax
     import jax.numpy as jnp
 
     from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
         build_model,
+        init_detector_params,
         predict,
     )
 
-    from faster_rcnn_pytorch_tpu.models.faster_rcnn import init_detector_params
-
-    model, cfg = build_model("legacy", num_classes=21)
+    model, cfg = build_model(generation, num_classes=21 if generation == "legacy" else 91)
     rs = np.random.RandomState(0)
     params = init_detector_params(model, jax.random.key(0))
-
     base = jnp.asarray(
-        rs.normal(size=(BATCH, CANVAS, CANVAS, 3)).astype(np.float32)
+        rs.normal(size=(batch, CANVAS, CANVAS, 3)).astype(np.float32)
     )
-    # Distinct device-resident inputs defeat any backend memoisation;
-    # blocking once at the end measures pipelined (serving) throughput
-    # rather than tunnel round-trip latency.
-    images = [base + 0.001 * i for i in range(ITERS + WARMUP)]
+    images = [base + 0.001 * i for i in range(iters + WARMUP)]
     jax.block_until_ready(images)
-    extents = jnp.ones((BATCH, 2), jnp.float32)
+    extents = jnp.ones((batch, 2), jnp.float32)
 
     @jax.jit
     def fn(params, images, extents):
         return model.apply(params, cfg, images, extents, method=predict)
 
-    outs = [fn(params, im, extents) for im in images[:WARMUP]]
-    jax.block_until_ready(outs)
-
-    t0 = time.perf_counter()
-    outs = [fn(params, im, extents) for im in images[WARMUP:]]
-    jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - t0
-
-    img_per_sec = BATCH * ITERS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "legacy_vgg16_predict_800px_images_per_sec",
-                "value": round(img_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(
-                    img_per_sec / NOMINAL_BASELINE_IMG_PER_SEC, 3
-                ),
-            }
-        )
+    elapsed = _run_pipelined(
+        lambda im: fn(params, im, extents), lambda i: (images[i],), iters
     )
+    return batch * iters / elapsed
+
+
+def bench_train(generation: str, batch: int, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        build_model,
+        init_detector_params,
+    )
+    from faster_rcnn_pytorch_tpu.parallel.mesh import make_mesh, replicate
+    from faster_rcnn_pytorch_tpu.parallel.train_step import (
+        init_train_state,
+        make_lr_schedule,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model, cfg = build_model(generation, num_classes=21 if generation == "legacy" else 91)
+    rs = np.random.RandomState(0)
+    params = init_detector_params(model, jax.random.key(0))
+    schedule = make_lr_schedule("constant", 1e-3, 1, 1)
+    optimizer = make_optimizer(params, schedule)
+    mesh = make_mesh(1)
+    state = replicate(init_train_state(params, optimizer), mesh)
+    step_fn = make_train_step(model, cfg, optimizer, mesh)
+
+    xy1 = rs.uniform(0, 0.5, size=(batch, MAX_GT, 2))
+    wh = rs.uniform(0.05, 0.4, size=(batch, MAX_GT, 2))
+    batch_np = {
+        "image": rs.normal(size=(batch, CANVAS, CANVAS, 3)).astype(np.float32),
+        "extent": np.ones((batch, 2), np.float32),
+        "gt_boxes": np.concatenate([xy1, np.minimum(xy1 + wh, 1.0)], -1).astype(np.float32),
+        "gt_labels": rs.randint(0, 20, size=(batch, MAX_GT)).astype(np.int32),
+        "gt_mask": (np.arange(MAX_GT)[None, :] < 12).repeat(batch, 0),
+    }
+    from faster_rcnn_pytorch_tpu.parallel.mesh import shard_batch
+
+    batches = [
+        shard_batch(
+            {**batch_np, "image": batch_np["image"] + 0.001 * i}, mesh
+        )
+        for i in range(iters + WARMUP)
+    ]
+    jax.block_until_ready(batches)
+    rng = jax.random.key(0)
+
+    # donated state flows through the loop; sequential by construction
+    for i in range(WARMUP):
+        state, metrics = step_fn(state, batches[i], rng)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step_fn(state, batches[WARMUP + i], rng)
+    jax.block_until_ready((state, metrics))
+    elapsed = time.perf_counter() - t0
+    return batch * iters / elapsed
+
+
+def main() -> None:
+    full = os.environ.get("FRT_BENCH_FULL", "1") != "0"
+    baseline, baseline_metric = _measured_baseline()
+
+    def emit(metric, value, unit, with_baseline=False):
+        row = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if with_baseline and baseline:
+            row["vs_baseline"] = round(value / baseline, 3)
+            row["baseline"] = baseline_metric
+        print(json.dumps(row), flush=True)
+
+    if full:
+        emit(
+            "legacy_vgg16_train_800px_b4_images_per_sec",
+            bench_train("legacy", batch=4, iters=20),
+            "images/sec/chip",
+        )
+        emit(
+            "legacy_vgg16_train_800px_b8_images_per_sec",
+            bench_train("legacy", batch=8, iters=10),
+            "images/sec/chip",
+        )
+        emit(
+            "fpn_resnet50_predict_800px_b2_images_per_sec",
+            bench_predict("fpn", batch=2, iters=30),
+            "images/sec/chip",
+        )
+        emit(
+            "fpn_resnet50_train_800px_b2_images_per_sec",
+            bench_train("fpn", batch=2, iters=15),
+            "images/sec/chip",
+        )
+
+    # Headline LAST: the driver records the final JSON line.
+    value = bench_predict("legacy", batch=4, iters=40)
+    row = {
+        "metric": "legacy_vgg16_predict_800px_images_per_sec",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "baseline": baseline_metric,
+    }
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
