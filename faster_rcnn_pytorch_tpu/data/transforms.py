@@ -62,25 +62,35 @@ def resize_min_side(
 def photometric_distort(
     image: np.ndarray, rng: np.random.RandomState, delta: float = 18.0
 ):
-    """Random brightness/contrast/saturation/hue jitter, uint8 in/out."""
-    img = image.astype(np.float32)
-    if rng.rand() < 0.5:  # brightness
-        img += rng.uniform(-delta, delta)
-    if rng.rand() < 0.5:  # contrast
-        img *= rng.uniform(0.5, 1.5)
-    if rng.rand() < 0.5:  # saturation: lerp to per-pixel gray
-        gray = img.mean(axis=2, keepdims=True)
-        img = gray + (img - gray) * rng.uniform(0.5, 1.5)
-    if rng.rand() < 0.5:  # hue: channel roll in HSV space approximated
-        hsv = np.asarray(
-            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).convert("HSV"),
-            np.int16,
-        )
-        hsv[..., 0] = (hsv[..., 0] + rng.randint(-delta, delta + 1)) % 256
-        img = np.asarray(
-            Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"), np.float32
-        )
-    return np.clip(img, 0, 255).astype(np.uint8)
+    """Reference ``photometric_distort_`` parity (transforms_.py:38-58):
+    ALL FOUR of brightness / contrast / saturation / hue are applied, in
+    random order, with factors U(0.5, 1.5) (hue: U(-18/255, 18/255) of a
+    cycle). torchvision's PIL backend implements the first three via
+    ``ImageEnhance`` and hue via an HSV channel roll — used verbatim
+    here, so the pixel math is identical, not an approximation.
+    """
+    from PIL import ImageEnhance
+
+    def brightness(im):
+        return ImageEnhance.Brightness(im).enhance(rng.uniform(0.5, 1.5))
+
+    def contrast(im):
+        return ImageEnhance.Contrast(im).enhance(rng.uniform(0.5, 1.5))
+
+    def saturation(im):
+        return ImageEnhance.Color(im).enhance(rng.uniform(0.5, 1.5))
+
+    def hue(im):
+        f = rng.uniform(-delta / 255.0, delta / 255.0)
+        hsv = np.asarray(im.convert("HSV"), np.int16).copy()
+        hsv[..., 0] = (hsv[..., 0] + int(f * 255)) % 256
+        return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+    ops = [brightness, contrast, saturation, hue]
+    img = Image.fromarray(image)
+    for i in rng.permutation(4):
+        img = ops[i](img)
+    return np.asarray(img, np.uint8)
 
 
 def zoom_out(

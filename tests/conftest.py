@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compile cache: the @slow integration tests spend minutes in
+# XLA CPU compiles of unchanged programs; with a warm cache the full
+# suite (slow tests included) fits a normal CI budget.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_test_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 # The image ships a TPU platform plugin ("axon") that overrides the
 # JAX_PLATFORMS env var; an explicit config update after import wins.
 import jax  # noqa: E402

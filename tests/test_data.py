@@ -266,3 +266,20 @@ def test_loader_deterministic(voc_root):
         return [b["image"].sum() for b in loader.epoch(0)]
 
     assert run() == run()
+
+
+def test_photometric_distort_contract():
+    """All four jitters applied in random order (transforms_.py:38-58):
+    output differs from input, dtype/shape preserved, seed-deterministic,
+    different seeds give different orders/factors."""
+    from faster_rcnn_pytorch_tpu.data.transforms import photometric_distort
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (40, 50, 3), dtype=np.uint8)
+    out1 = photometric_distort(img, np.random.RandomState(42))
+    out2 = photometric_distort(img, np.random.RandomState(42))
+    out3 = photometric_distort(img, np.random.RandomState(7))
+    assert out1.shape == img.shape and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)  # deterministic per seed
+    assert not np.array_equal(out1, img)  # jitter actually applied
+    assert not np.array_equal(out1, out3)  # seed-dependent
