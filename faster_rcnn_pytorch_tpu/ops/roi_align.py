@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -168,7 +169,7 @@ def fpn_level_assignment(
     jax.jit,
     static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
 )
-def multiscale_roi_align(
+def multiscale_roi_align_dense(
     features: tuple[Array, ...],
     rois: Array,
     strides: tuple[int, ...] = (4, 8, 16, 32),
@@ -176,18 +177,12 @@ def multiscale_roi_align(
     sampling_ratio: int = 2,
     roi_chunk: int = 32,
 ) -> Array:
-    """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity).
-
-    TPU-native strategy: rather than gathering level-specific features per
-    roi (dynamic shapes), every roi is pooled from **every** level and the
-    per-roi result is selected by its assigned level — four dense matmuls
-    and one select, no data-dependent shapes (models/new_model.py:127).
-
-    Args:
-      features: per-level ``[h_l, w_l, c]`` maps (P2..P5; the extra
-        max-pool level P6 feeds the RPN only, not the heads).
-      rois: ``[n, 4]`` xyxy in image pixel coordinates.
-    """
+    """All-levels matmul formulation (kept as the oracle for the gather
+    path below): every roi is pooled from **every** level and the per-roi
+    result is selected by its assigned level — four dense matmuls and one
+    select. Exact but pays P2's full map cost for every roi; measured
+    37.5 ms of the 63 ms FPN predict step at 800x800 b2 (round-2 trace,
+    tools/profile_stages.py)."""
     lvl = fpn_level_assignment(rois)
     out = None
     for i, (feat, stride) in enumerate(zip(features, strides)):
@@ -202,3 +197,121 @@ def multiscale_roi_align(
         sel = (lvl == i).astype(pooled.dtype)[:, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out
+
+
+def _corner_indices_weights(coords: Array, size: Array):
+    """Bilinear corner indices + weights with per-element ``size``.
+
+    Same semantics as :func:`_interp_weights` (torchvision
+    ``aligned=False`` validity/clamp/collapse rules) but returns the two
+    corner indices and weights instead of a dense one-hot row, so the
+    caller can *gather* instead of matmul.
+
+    Args:
+      coords: ``[..., s]`` sample coordinates along one axis.
+      size: broadcastable int array — cells along that axis (per roi).
+
+    Returns:
+      ``(idx, w)``: ``[..., s, 2]`` int32 indices and float32 weights.
+    """
+    valid = (coords >= -1.0) & (coords <= size)
+    c = jnp.maximum(coords, 0.0)
+    low = jnp.floor(c).astype(jnp.int32)
+    collapse = low >= size - 1
+    low = jnp.where(collapse, (size - 1).astype(jnp.int32), low)
+    c = jnp.where(collapse, low.astype(c.dtype), c)
+    high = jnp.where(collapse, low, low + 1)
+    frac = c - low.astype(c.dtype)
+    w_low = (1.0 - frac) * valid
+    w_high = frac * valid
+    return (
+        jnp.stack([low, high], axis=-1),
+        jnp.stack([w_low, w_high], axis=-1).astype(jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
+)
+def multiscale_roi_align(
+    features: tuple[Array, ...],
+    rois: Array,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 32,  # kept for API parity; unused by the gather path
+) -> Array:
+    """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity,
+    models/new_model.py:127) — gather formulation.
+
+    TPU-native strategy v2: all level maps are flattened into one
+    ``[sum(h_l*w_l), c]`` row buffer; each roi computes its ``2S x 2S``
+    bilinear corner grid *in its assigned level's* coordinates and
+    gathers exactly those rows (256-channel rows are 2 full lanes — an
+    ideal TPU gather shape). Cost per roi is level-independent:
+    ``(2S)^2 * c`` bytes, ~0.8 MB/roi, vs the dense path's full-P2
+    matmul. Separable bilinear weights are applied as two tiny
+    contractions. Exact vs :func:`multiscale_roi_align_dense`
+    (oracle-tested); no budgets, no overflow fallback.
+
+    Args:
+      features: per-level ``[h_l, w_l, c]`` maps (P2..P5).
+      rois: ``[n, 4]`` xyxy in image pixel coordinates.
+    """
+    n = rois.shape[0]
+    c = features[0].shape[-1]
+    s = output_size * sampling_ratio
+
+    lvl = fpn_level_assignment(rois, k_min=2, k_max=2 + len(strides) - 1)
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    hs = jnp.asarray([f.shape[0] for f in features], jnp.int32)[lvl]
+    ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)[lvl]
+    sizes = [f.shape[0] * f.shape[1] for f in features]
+    offs = jnp.asarray(
+        np.concatenate([[0], np.cumsum(sizes)[:-1]]), jnp.int32
+    )[lvl]
+    scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
+
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    x2 = rois[:, 2] * scale
+    y2 = rois[:, 3] * scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    ycoords = _sample_coords(y1, roi_h, output_size, sampling_ratio)  # [n,S]
+    xcoords = _sample_coords(x1, roi_w, output_size, sampling_ratio)
+    yi, wy = _corner_indices_weights(ycoords, hs[:, None])  # [n, S, 2]
+    xi, wx = _corner_indices_weights(xcoords, ws[:, None])
+
+    # Group the (sample, corner) axes as (bin p, sub-sample u, corner a)
+    # -> one u2 = sampling_ratio*2 axis per spatial dim, so the corner
+    # bilinear reduction AND the sub-sample mean collapse into a single
+    # fused reduce whose output is already the pooled [n, P, P, c] —
+    # the only large HBM tensor is the gather output itself
+    # (the einsum form materialised the corner tensor 3x: 15 GB
+    # accessed -> ~28 ms at 800x800 b2).
+    p = output_size
+    u2 = sampling_ratio * 2
+    yi = yi.reshape(n, p, u2)
+    xi = xi.reshape(n, p, u2)
+    wy = wy.reshape(n, p, u2)
+    wx = wx.reshape(n, p, u2)
+
+    # Flat row index grid [n, p, u2, p, u2]; invalid corners carry zero
+    # weight, their (clamped, in-range) index is harmless.
+    idx = (
+        offs[:, None, None, None, None]
+        + yi[:, :, :, None, None] * ws[:, None, None, None, None]
+        + xi[:, None, None, :, :]
+    )
+    g = jnp.take(flat, idx, axis=0)  # [n, p, u2, p, u2, c]
+
+    # pooled[n,p,q,c] = (1/ratio^2) sum_{u,a,v,b} wy wx g
+    w4 = (
+        wy[:, :, :, None, None] * wx[:, None, None, :, :]
+    ) / float(sampling_ratio * sampling_ratio)
+    pooled = (g.astype(jnp.float32) * w4[..., None]).sum(axis=(2, 4))
+    return pooled.astype(features[0].dtype)

@@ -174,3 +174,26 @@ def test_multiscale_roi_align_selects_levels():
     for i, lvl in enumerate(lvls):
         want = np_roi_align(feats[lvl], rois[i : i + 1], 1.0 / (4 * 2**lvl))
         np.testing.assert_allclose(got[i], want[0], atol=1e-4)
+
+
+def test_multiscale_gather_matches_dense_fuzz():
+    """The gather formulation (default) must agree with the all-levels
+    dense-matmul formulation on random scenes, including rois straddling
+    level boundaries, degenerate rois, and canvas-edge rois."""
+    from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_dense
+
+    rs = np.random.RandomState(11)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    for trial in range(5):
+        xy1 = rs.uniform(-10, 250, size=(40, 2))
+        wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(40, 2)))
+        rois = np.concatenate([xy1, xy1 + wh], axis=1).astype(np.float32)
+        rois = np.concatenate(
+            [rois, [[5, 5, 5.2, 5.2], [0, 0, 256, 224], [200, 200, 1000, 1000]]]
+        ).astype(np.float32)
+        got = np.asarray(multiscale_roi_align(feats, jnp.asarray(rois)))
+        want = np.asarray(multiscale_roi_align_dense(feats, jnp.asarray(rois)))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
