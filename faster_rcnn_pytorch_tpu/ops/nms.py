@@ -195,12 +195,20 @@ def nms(
 
     # Early exit: the first post_k kept boxes (produced in score order)
     # fully determine the output; later tiles cannot alter them, only
-    # append beyond post_k. return_mask needs the complete sweep.
+    # append beyond post_k. return_mask needs the complete sweep — but a
+    # tile with no valid entries keeps nothing either way, and since
+    # valid entries are not necessarily a prefix (assume_sorted callers
+    # may invalidate arbitrary slots), the exhaustion test uses a
+    # suffix count of remaining valid entries per tile.
     stop_count = n_pad + 1 if return_mask else post_k
+    remaining = jnp.cumsum(
+        sorted_valid.reshape(num_tiles, tile).sum(axis=1)[::-1]
+    )[::-1]
 
     def tile_cond(state):
         t, _, count = state
-        return jnp.logical_and(t < num_tiles, count < stop_count)
+        more = jax.lax.dynamic_slice(remaining, (jnp.minimum(t, num_tiles - 1),), (1,))[0]
+        return (t < num_tiles) & (count < stop_count) & (more > 0)
 
     import os
 
@@ -314,6 +322,7 @@ def batched_nms(
         "per_class_k",
         "max_det",
         "tile",
+        "candidate_k",
     ),
 )
 def multiclass_nms(
@@ -325,6 +334,7 @@ def multiclass_nms(
     per_class_k: int = 100,
     max_det: int = 100,
     tile: int = 256,
+    candidate_k: int | None = None,
 ):
     """Per-class suppression of the test-time head, fixed output budget.
 
@@ -379,36 +389,93 @@ def multiclass_nms(
         out_labels = jnp.where(keep_valid, flat_labels[safe], -1)
         return out_boxes, out_labels, out_scores, keep_valid
 
-    def one_class(b, p, v):
-        _, ok, kept_boxes, kept_scores = nms(
-            b,
-            p,
-            iou_threshold,
-            post_k=per_class_k,
-            valid=v,
-            tile=tile,
-            return_boxes=True,
+    n = fg_boxes.shape[1]
+
+    def vmapped_path(_):
+        def one_class(b, p, v):
+            _, ok, kept_boxes, kept_scores = nms(
+                b,
+                p,
+                iou_threshold,
+                post_k=per_class_k,
+                valid=v,
+                tile=tile,
+                return_boxes=True,
+            )
+            return kept_boxes, kept_scores, ok
+
+        boxes_k, scores_k, valid_k = jax.vmap(one_class)(
+            fg_boxes, fg_probs, fg_valid
         )
-        return kept_boxes, kept_scores, ok
+        labels_k = jnp.broadcast_to(
+            jnp.arange(n_fg, dtype=jnp.int32)[:, None], (n_fg, per_class_k)
+        )
 
-    boxes_k, scores_k, valid_k = jax.vmap(one_class)(
-        fg_boxes, fg_probs, fg_valid
-    )
-    labels_k = jnp.broadcast_to(
-        jnp.arange(n_fg, dtype=jnp.int32)[:, None], (n_fg, per_class_k)
-    )
+        flat_scores = jnp.where(
+            valid_k.reshape(-1), scores_k.reshape(-1), -1.0
+        )
+        flat_boxes = boxes_k.reshape(-1, 4)
+        flat_labels = labels_k.reshape(-1)
+        if flat_scores.shape[0] < max_det:  # pad so max_det is always met
+            pad = max_det - flat_scores.shape[0]
+            flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-1.0)
+            flat_boxes = jnp.pad(flat_boxes, ((0, pad), (0, 0)))
+            flat_labels = jnp.pad(flat_labels, (0, pad))
+        top_scores, top_idx = jax.lax.top_k(flat_scores, max_det)
+        out_valid = top_scores > 0.0
+        out_boxes = jnp.where(out_valid[:, None], flat_boxes[top_idx], 0.0)
+        out_labels = jnp.where(out_valid, flat_labels[top_idx], -1)
+        out_scores = jnp.where(out_valid, top_scores, 0.0)
+        return out_boxes, out_labels, out_scores, out_valid
 
-    flat_scores = jnp.where(valid_k.reshape(-1), scores_k.reshape(-1), -1.0)
-    flat_boxes = boxes_k.reshape(-1, 4)
-    flat_labels = labels_k.reshape(-1)
-    if flat_scores.shape[0] < max_det:  # pad so max_det is always met
-        pad = max_det - flat_scores.shape[0]
-        flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-1.0)
-        flat_boxes = jnp.pad(flat_boxes, ((0, pad), (0, 0)))
-        flat_labels = jnp.pad(flat_labels, (0, pad))
-    top_scores, top_idx = jax.lax.top_k(flat_scores, max_det)
-    out_valid = top_scores > 0.0
-    out_boxes = jnp.where(out_valid[:, None], flat_boxes[top_idx], 0.0)
-    out_labels = jnp.where(out_valid, flat_labels[top_idx], -1)
-    out_scores = jnp.where(out_valid, top_scores, 0.0)
-    return out_boxes, out_labels, out_scores, out_valid
+    # Exact top-K candidate compaction (the common large case, e.g. FPN
+    # 90 x 1000): only above-threshold (roi, class) pairs participate in
+    # suppression, and per-class greedy NMS over them is unchanged by
+    # dropping everything else. Take the global top-K candidates by
+    # score (class-major flat order preserves the per-class stable tie
+    # order) and run ONE offset-trick NMS over the already-sorted set —
+    # survivors come out in global score order, so the first max_det are
+    # exactly the final detections. Replaces C-1 vmapped sort+sweep
+    # passes (11.1 ms -> ~3 ms at FPN shapes on v5e). If more than K
+    # candidates clear the threshold (adversarial: a softmax row can
+    # clear 0.05 at most 19 times, so the bound is 19n, not C*n), fall
+    # back to the exact vmapped path via lax.cond.
+    k_cand = (
+        candidate_k
+        if candidate_k is not None
+        else min(n_fg * n, max(512, 2 * max_det))
+    )
+    flat_boxes_all = fg_boxes.reshape(-1, 4)
+    flat_probs_all = jnp.where(fg_valid, fg_probs, -jnp.inf).reshape(-1)
+
+    def compact_path(_):
+        top_s, top_i = jax.lax.top_k(flat_probs_all, k_cand)
+        cand_boxes = flat_boxes_all[top_i]
+        cand_labels = (top_i // n).astype(jnp.int32)
+        cand_valid = jnp.isfinite(top_s)
+        max_coord = jnp.max(jnp.where(cand_valid[:, None], cand_boxes, 0.0))
+        shifted = cand_boxes + cand_labels.astype(jnp.float32)[:, None] * (
+            max_coord + 1.0
+        )
+        keep_idx, keep_valid = nms(
+            shifted,
+            top_s,
+            iou_threshold,
+            post_k=max_det,
+            valid=cand_valid,
+            tile=tile,
+            assume_sorted=True,
+        )
+        safe = jnp.where(keep_valid, keep_idx, 0)
+        out_boxes = jnp.where(keep_valid[:, None], cand_boxes[safe], 0.0)
+        out_scores = jnp.where(keep_valid, top_s[safe], 0.0)
+        out_labels = jnp.where(keep_valid, cand_labels[safe], -1)
+        return out_boxes, out_labels, out_scores, keep_valid
+
+    if k_cand == n_fg * n:
+        # top_k degenerates to a full sort: compaction is unconditionally
+        # exact, no fallback branch needed.
+        return compact_path(None)
+    return jax.lax.cond(
+        fg_valid.sum() <= k_cand, compact_path, vmapped_path, None
+    )

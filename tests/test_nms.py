@@ -197,3 +197,30 @@ def test_batched_nms_pixel_scale_coords():
     idx = np.asarray(idx)
     assert ok.tolist() == [True, True, False]  # classes 0 and 1 kept once each
     assert set(idx[ok].tolist()) == {0, 1}
+
+
+def test_multiclass_nms_compact_and_fallback_agree():
+    """The top-K compaction branch and the vmapped fallback must produce
+    identical detections; candidate_k forces each side of the lax.cond."""
+    rs = np.random.RandomState(57)
+    n, num_classes = 300, 60
+    cls_boxes = np.stack(
+        [boxes_fixture(rs, n) for _ in range(num_classes)], axis=1
+    )
+    logits = rs.normal(size=(n, num_classes)).astype(np.float32) * 2
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    kwargs = dict(
+        num_classes=num_classes, per_class_k=100, max_det=100, tile=128
+    )
+    # candidate_k=4096 -> count <= K -> compact path taken
+    compact = multiclass_nms(
+        jnp.asarray(cls_boxes), jnp.asarray(probs), 0.2, 0.3,
+        candidate_k=4096, **kwargs,
+    )
+    # candidate_k=1 -> count > K -> vmapped fallback taken
+    fallback = multiclass_nms(
+        jnp.asarray(cls_boxes), jnp.asarray(probs), 0.2, 0.3,
+        candidate_k=1, **kwargs,
+    )
+    for a, b in zip(compact, fallback):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
