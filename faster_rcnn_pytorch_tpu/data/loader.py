@@ -48,6 +48,14 @@ def set_image_loader(fn: Callable[[str], np.ndarray] | None) -> None:
 
 
 def load_image(path: str) -> np.ndarray:
+    """Decode a path to uint8 HWC RGB.
+
+    Default is PIL: its bundled libjpeg-turbo (SIMD) measured 10.3 ms vs
+    12.9 ms for the native libjpeg path on a 640x480 q90 JPEG. The
+    native decoder (``native.native_image_loader``) remains installable
+    via :func:`set_image_loader` for environments without PIL's turbo
+    build.
+    """
     if _image_loader is not None:
         return _image_loader(path)
     with Image.open(path) as im:

@@ -46,6 +46,10 @@ def _load():
     lib.resize_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int]
     lib.normalize_into_canvas.argtypes = [u8p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int]
     lib.hflip_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int]
+    lib.jpeg_dims.argtypes = [u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.jpeg_dims.restype = ctypes.c_int
+    lib.decode_jpeg_rgb.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_int, ctypes.c_int]
+    lib.decode_jpeg_rgb.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -99,3 +103,46 @@ def resize_bilinear(image: np.ndarray, dh: int, dw: int) -> np.ndarray:
         dw,
     )
     return out
+
+
+def decode_jpeg(path: str) -> np.ndarray | None:
+    """Native JPEG -> uint8 HWC RGB via libjpeg (the same C library the
+    system PIL wraps), bypassing PIL object overhead; the GIL is released
+    for the whole decode (ctypes). Returns None if the native library is
+    unavailable or the file is not a decodable JPEG (caller falls back
+    to PIL — e.g. PNGs take that path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = np.frombuffer(f.read(), dtype=np.uint8)
+    except OSError:
+        return None
+    if data.size < 3 or data[0] != 0xFF or data[1] != 0xD8:
+        return None  # not a JPEG signature
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    dp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if lib.jpeg_dims(dp, data.size, ctypes.byref(h), ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.decode_jpeg_rgb(
+        dp,
+        data.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h.value,
+        w.value,
+    )
+    return out if rc == 0 else None
+
+
+def native_image_loader(path: str) -> np.ndarray:
+    """Drop-in for ``loader.load_image``: libjpeg fast path, PIL fallback."""
+    out = decode_jpeg(path)
+    if out is not None:
+        return out
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))

@@ -10,8 +10,12 @@
 // Build: make -C native   (produces libimage_ops.so)
 
 #include <algorithm>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+
+#include <jpeglib.h>
 
 extern "C" {
 
@@ -78,6 +82,78 @@ void hflip_u8(uint8_t* img, int h, int w) {
       }
     }
   }
+}
+
+// ---- JPEG decode (libjpeg) --------------------------------------------
+//
+// Completes the native loader: the reference leans on torchvision/PIL's
+// C decode path; here the same libjpeg the system PIL wraps is called
+// directly, so the Python worker threads never hold the GIL during
+// decode (ctypes releases it around the call).
+
+namespace {
+struct JerrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jmp;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  JerrMgr* err = reinterpret_cast<JerrMgr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+}  // namespace
+
+// Reads image dimensions from an in-memory JPEG. Returns 0 on success.
+int jpeg_dims(const uint8_t* data, long size, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JerrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decodes an in-memory JPEG into a caller-allocated uint8 HWC RGB buffer
+// of exactly h*w*3 bytes (h, w from jpeg_dims). Grayscale/CMYK sources
+// are converted to RGB by libjpeg. Returns 0 on success.
+int decode_jpeg_rgb(const uint8_t* data, long size, uint8_t* out,
+                    int h, int w) {
+  jpeg_decompress_struct cinfo;
+  JerrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != h ||
+      static_cast<int>(cinfo.output_width) != w ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
 }
 
 }  // extern "C"

@@ -197,3 +197,35 @@ def test_multiscale_gather_matches_dense_fuzz():
         got = np.asarray(multiscale_roi_align(feats, jnp.asarray(rois)))
         want = np.asarray(multiscale_roi_align_dense(feats, jnp.asarray(rois)))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_multiscale_pallas_matches_dense_fuzz():
+    """Pallas windowed-DMA kernel (interpret mode) vs the dense oracle,
+    including extreme aspect ratios that span many window slots and rois
+    on levels smaller than one window."""
+    from faster_rcnn_pytorch_tpu.ops.pallas.roi_align_kernel import (
+        multiscale_roi_align_pallas,
+    )
+    from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_dense
+
+    rs = np.random.RandomState(19)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    xy1 = rs.uniform(-10, 250, size=(40, 2))
+    wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(40, 2)))
+    rois = np.concatenate([xy1, xy1 + wh], axis=1)
+    extremes = np.array(
+        [
+            [0, 0, 288, 10],      # full-width banner: many x slots at P2
+            [0, 0, 10, 256],      # full-height pole: many y slots
+            [5, 5, 5.2, 5.2],     # degenerate
+            [200, 200, 1000, 1000],  # clamped-level giant
+            [0, 0, 288, 256],     # whole canvas
+        ]
+    )
+    rois = jnp.asarray(np.concatenate([rois, extremes]).astype(np.float32))
+    got = np.asarray(multiscale_roi_align_pallas(feats, rois, interpret=True))
+    want = np.asarray(multiscale_roi_align_dense(feats, rois))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
