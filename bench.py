@@ -24,8 +24,6 @@ import numpy as np
 
 # Persistent compilation cache: full-model programs take minutes to
 # compile through the TPU tunnel; repeat bench runs reuse it.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 CANVAS = 800
 WARMUP = 3
@@ -144,6 +142,9 @@ def bench_train(generation: str, batch: int, iters: int) -> float:
 
 
 def main() -> None:
+    from faster_rcnn_pytorch_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     full = os.environ.get("FRT_BENCH_FULL", "1") != "0"
     baseline, baseline_metric = _measured_baseline()
 

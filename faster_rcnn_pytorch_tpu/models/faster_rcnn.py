@@ -184,7 +184,14 @@ class FPNFRCNN(nn.Module):
 
     def rpn_out(self, feats):
         """Shared RPN head over all levels, concatenated level-major
-        (models/new_model.py:27-41)."""
+        (models/new_model.py:27-41).
+
+        Stays per-level: a row-concat single-conv variant (levels padded
+        to P2's width with a zero gap row) was measured 3.5x SLOWER
+        (2.74 vs 0.78 ms at 800x800 b2 on v5e, tools/chaintime) — the
+        pad/concat/slice relayouts cost more than the five dispatches
+        they save.
+        """
         cls_all, reg_all = [], []
         for f in feats:
             cls, reg = self.rpn(f)

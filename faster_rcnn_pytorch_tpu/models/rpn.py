@@ -40,8 +40,7 @@ class RPNHead(nn.Module):
     channels: int = 512
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, feat):
+    def setup(self):
         conv = lambda f, k, name: nn.Conv(  # noqa: E731
             f,
             (k, k),
@@ -51,9 +50,19 @@ class RPNHead(nn.Module):
             kernel_init=normal_init(0.01),
             name=name,
         )
-        x = nn.relu(conv(self.channels, 3, "inter")(feat))
-        cls = conv(self.num_anchors * 2, 1, "cls")(x)
-        reg = conv(self.num_anchors * 4, 1, "reg")(x)
+        self.inter = conv(self.channels, 3, "inter")
+        self.cls = conv(self.num_anchors * 2, 1, "cls")
+        self.reg = conv(self.num_anchors * 4, 1, "reg")
+
+    def maps(self, feat):
+        """Raw conv maps ``[..., h, w, a*2] / [..., h, w, a*4]`` (model
+        dtype) — callers that batch several feature maps through one
+        conv (FPN level concat) slice these before the anchor reshape."""
+        x = nn.relu(self.inter(feat))
+        return self.cls(x), self.reg(x)
+
+    def __call__(self, feat):
+        cls, reg = self.maps(feat)
         lead = feat.shape[:-3]
         cls = cls.reshape(*lead, -1, 2).astype(jnp.float32)
         reg = reg.reshape(*lead, -1, 4).astype(jnp.float32)

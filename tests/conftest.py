@@ -16,16 +16,22 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent compile cache: the @slow integration tests spend minutes in
 # XLA CPU compiles of unchanged programs; with a warm cache the full
-# suite (slow tests included) fits a normal CI budget.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_test_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# suite (slow tests included) fits a normal CI budget. The cache lives
+# inside the repo (gitignored) so it survives across sessions/rounds,
+# unlike /tmp.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_test_cache")
 
 # The image ships a TPU platform plugin ("axon") that overrides the
 # JAX_PLATFORMS env var; an explicit config update after import wins.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NB: the JAX_COMPILATION_CACHE_DIR env var is ignored by this jax build
+# (verified empirically — no cache dir is ever created); only the config
+# API enables the persistent compile cache.
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -4,12 +4,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from faster_rcnn_pytorch_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
+
 
 from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align
 

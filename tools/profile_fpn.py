@@ -17,8 +17,6 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -26,6 +24,9 @@ if REPO not in sys.path:
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+from faster_rcnn_pytorch_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
 
 from faster_rcnn_pytorch_tpu.models.faster_rcnn import (  # noqa: E402
     build_model,
