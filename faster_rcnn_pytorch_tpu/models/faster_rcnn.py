@@ -40,7 +40,7 @@ from faster_rcnn_pytorch_tpu.models.targets import (
 from faster_rcnn_pytorch_tpu.models.vgg import VGG16Features
 from faster_rcnn_pytorch_tpu.ops.boxes import cxcy_to_xy, decode, xy_to_cxcy
 from faster_rcnn_pytorch_tpu.ops.nms import multiclass_nms
-from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align
+from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_batch
 from faster_rcnn_pytorch_tpu.ops.roi_pool import roi_pool
 
 Array = jax.Array
@@ -205,15 +205,17 @@ class FPNFRCNN(nn.Module):
     def head(self, feats, rois, canvas_hw):
         """RoI head over P2..P5. rois ``[B, S, 4]`` in [0,1] canvas coords
         are scaled to canvas pixels for MultiScaleRoIAlign
-        (models/new_model.py:134-143)."""
+        (models/new_model.py:134-143). Uses the batch align entry point
+        so the strip/corner dispatch cond stays outside the batch axis
+        (a vmapped cond executes both paths)."""
         b, s = rois.shape[:2]
         h, w = canvas_hw
         scale = jnp.array([w, h, w, h], dtype=jnp.float32)
-        pooled = jax.vmap(
-            lambda fs, r: multiscale_roi_align(
-                fs, r * scale, strides=self.strides[:4]
-            )
-        )((feats[0], feats[1], feats[2], feats[3]), rois)
+        pooled = multiscale_roi_align_batch(
+            (feats[0], feats[1], feats[2], feats[3]),
+            rois * scale,
+            strides=self.strides[:4],
+        )
         x = pooled.reshape(b, s, -1)  # [B, S, 7*7*256] (h,w,c)
         x = nn.relu(self.fc6(x))
         x = nn.relu(self.fc7(x))

@@ -237,54 +237,23 @@ def _corner_starts_weights(coords: Array, size: Array):
     return start, jnp.stack([w0, w1], axis=-1).astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
-)
-def multiscale_roi_align(
-    features: tuple[Array, ...],
-    rois: Array,
-    strides: tuple[int, ...] = (4, 8, 16, 32),
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-    roi_chunk: int = 32,  # kept for API parity; unused by the gather path
-) -> Array:
-    """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity,
-    models/new_model.py:127) — windowed-gather formulation.
+def _align_prep(features, rois, strides, output_size, sampling_ratio):
+    """Shared prep: level-stacked buffer + per-sample corner geometry.
 
-    TPU-native strategy v3: all level maps are stacked row-wise (padded
-    to a common width) into one ``[sum(h_l), w_max, c]`` buffer; each
-    roi computes its ``S x S`` sample grid *in its assigned level's*
-    coordinates and gathers one ``(2, 2, c)`` corner window per sample
-    (the XLA TPU gather is index-issue bound: one window per sample is
-    2.4x faster than one row per corner, which itself beat the dense
-    all-levels matmul by the full P2-map cost). The corner bilinear
-    reduction and the sub-sample mean collapse into a single fused
-    reduce, so the only large HBM tensor is the gather output. Cost per
-    roi is level-independent; exact vs
-    :func:`multiscale_roi_align_dense` (oracle-tested); no budgets, no
-    overflow fallback. Measured v5e, 800x800 b2 x 1000 rois: dense
-    37.5 ms -> row-gather 18.7 ms -> this 7-8 ms.
-
-    Args:
-      features: per-level ``[h_l, w_l, c]`` maps (P2..P5), every
-        ``h_l, w_l >= 2``.
-      rois: ``[n, 4]`` xyxy in image pixel coordinates.
+    Returns ``(buf, ys_g, xs, wy, wx)`` where ``buf`` is the
+    ``[sum(h_l), w_max, c]`` row-stacked level buffer, ``ys_g``
+    ``[n, S]`` global (level-offset) y window starts, ``xs`` ``[n, S]``
+    x window starts in level coords, and ``wy``/``wx`` ``[n, S, 2]``
+    corner weights.
     """
     n = rois.shape[0]
-    c = features[0].shape[-1]
-
-    assert all(f.shape[0] >= 2 and f.shape[1] >= 2 for f in features), (
-        "multiscale_roi_align requires every level map >= 2x2"
-    )
-
     lvl = fpn_level_assignment(rois, k_min=2, k_max=2 + len(strides) - 1)
 
     w_max = max(f.shape[1] for f in features)
     buf = jnp.concatenate(
         [jnp.pad(f, ((0, 0), (0, w_max - f.shape[1]), (0, 0))) for f in features],
         axis=0,
-    )  # [sum(h_l), w_max, c]
+    )
     hs = jnp.asarray([f.shape[0] for f in features], jnp.int32)[lvl]
     ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)[lvl]
     row_offs = jnp.asarray(
@@ -304,22 +273,30 @@ def multiscale_roi_align(
     xcoords = _sample_coords(x1, roi_w, output_size, sampling_ratio)
     ys, wy = _corner_starts_weights(ycoords, hs[:, None])  # [n,S], [n,S,2]
     xs, wx = _corner_starts_weights(xcoords, ws[:, None])
+    return buf, row_offs[:, None] + ys, xs, wy, wx
 
-    # One (2, 2, c) window per sample pair. Samples are enumerated
-    # (p, q, u, v) — bin-major, sub-sample minor — so the corner
-    # bilinear reduction AND the sub-sample mean fold into ONE reduce
-    # over a contiguous 16-element axis right before channels; XLA then
-    # fuses convert+multiply+reduce into the gather consumer with no
-    # relayout (earlier axis orders materialised an f32 copy of the
-    # whole corner tensor plus a split two-stage reduce: ~6 GB HBM).
+
+def _align_corner_windows(buf, ys_g, xs, wy, wx, output_size, sampling_ratio, dtype):
+    """(2, 2, c) corner-window gather path — one gather index per
+    bilinear sample. Exact for every roi geometry; index-issue bound
+    (~16 ms at 2x1000 rois, 800x800 on v5e), so the main path reserves
+    it for oversized rois and uses y-pair strips otherwise."""
+    n, s = ys_g.shape
+    c = buf.shape[-1]
     p = output_size
     u = sampling_ratio
-    ys = (row_offs[:, None] + ys).reshape(n, p, u)
-    xs = xs.reshape(n, p, u)
+    # Samples are enumerated (p, q, u, v) — bin-major, sub-sample minor —
+    # so the corner bilinear reduction AND the sub-sample mean fold into
+    # ONE reduce over a contiguous axis; XLA then fuses
+    # convert+multiply+reduce into the gather consumer without relayout
+    # (other axis orders materialised an f32 copy of the whole corner
+    # tensor plus a split two-stage reduce: ~6 GB HBM).
+    ys_b = ys_g.reshape(n, p, u)
+    xs_b = xs.reshape(n, p, u)
     starts = jnp.stack(
         [
-            jnp.broadcast_to(ys[:, :, None, :, None], (n, p, p, u, u)),
-            jnp.broadcast_to(xs[:, None, :, None, :], (n, p, p, u, u)),
+            jnp.broadcast_to(ys_b[:, :, None, :, None], (n, p, p, u, u)),
+            jnp.broadcast_to(xs_b[:, None, :, None, :], (n, p, p, u, u)),
         ],
         axis=-1,
     )
@@ -332,12 +309,85 @@ def multiscale_roi_align(
     # reshape between the gather and the first reduce forces a full
     # f32 relayout copy of the corner tensor (measured +8 ms).
 
-    wy = wy.reshape(n, p, u, 2)
-    wx = wx.reshape(n, p, u, 2)
+    wy_b = wy.reshape(n, p, u, 2)
+    wx_b = wx.reshape(n, p, u, 2)
     # w[n, p, q, u, v, a, b] = wy[n,p,u,a] * wx[n,q,v,b] / u^2
     w4 = (
-        wy[:, :, None, :, None, :, None] * wx[:, None, :, None, :, None, :]
+        wy_b[:, :, None, :, None, :, None] * wx_b[:, None, :, None, :, None, :]
     ).reshape(n * p * p * u * u, 2, 2, 1) / float(u * u)
     s1 = (g.astype(jnp.float32) * w4).sum(axis=(1, 2))  # [M, c]
     pooled = s1.reshape(n, p * p, u * u, c).sum(axis=2)
-    return pooled.reshape(n, p, p, c).astype(features[0].dtype)
+    return pooled.reshape(n, p, p, c).astype(dtype)
+
+
+def multiscale_roi_align_batch(
+    features,
+    rois,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+):
+    """Batched :func:`multiscale_roi_align`: features ``[B, h_l, w_l, c]``
+    per level, rois ``[B, n, 4]`` -> ``[B, n, P, P, c]``."""
+    return jax.vmap(
+        lambda f2, r: multiscale_roi_align(
+            f2,
+            r,
+            strides=strides,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+        )
+    )(features, rois)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
+)
+def multiscale_roi_align(
+    features: tuple[Array, ...],
+    rois: Array,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 32,  # kept for API parity; unused by the gather path
+) -> Array:
+    """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity,
+    models/new_model.py:127) — corner-window gather formulation.
+
+    TPU-native strategy: all level maps are stacked row-wise into one
+    ``[sum(h_l), w_max, c]`` buffer; each roi gathers one ``(2, 2, c)``
+    corner window per bilinear sample in its assigned level's
+    coordinates, and one fused multiply+reduce folds the corner
+    reduction and the sub-sample mean. Exact for every roi geometry
+    with no budgets or fallbacks; oracle-fuzzed vs
+    :func:`multiscale_roi_align_dense`.
+
+    Evolution, measured on v5e at 800x800 b2 x 1000 rois (the XLA TPU
+    gather is index-issue bound at ~23M indices/s, and einsum consumers
+    of gathers trigger multi-GB f32 relayout copies):
+    dense all-levels matmul 37.5 ms -> per-corner row gather 18.7 ->
+    THIS corner-window path 16.7. Rejected with measurements: y-pair
+    (2,56,c) strips + MXU x-interp (26-29 ms — the contraction relayouts
+    outweigh the 14x index reduction), an unpipelined Pallas
+    window-DMA kernel (61.6 ms, ops/pallas/roi_align_kernel.py), and a
+    level-concat conv for the RPN head (same relayout trap).
+
+    Args:
+      features: per-level ``[h_l, w_l, c]`` maps (P2..P5), every
+        ``h_l, w_l >= 2``.
+      rois: ``[n, 4]`` xyxy in image pixel coordinates.
+    """
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+
+    assert all(f.shape[0] >= 2 and f.shape[1] >= 2 for f in features), (
+        "multiscale_roi_align requires every level map >= 2x2"
+    )
+
+    buf, ys_g, xs, wy, wx = _align_prep(
+        features, rois, strides, output_size, sampling_ratio
+    )
+    return _align_corner_windows(
+        buf, ys_g, xs, wy, wx, output_size, sampling_ratio, dtype
+    )

@@ -229,3 +229,55 @@ def test_multiscale_pallas_matches_dense_fuzz():
     got = np.asarray(multiscale_roi_align_pallas(feats, rois, interpret=True))
     want = np.asarray(multiscale_roi_align_dense(feats, rois))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_multiscale_gather_fallback_branch():
+    """More than OVERSIZE_K wide rois forces the lax.cond corner-window
+    fallback for the whole set; results must still match the oracle."""
+    from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_dense
+
+    rs = np.random.RandomState(23)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    y = rs.uniform(0, 200, size=(80, 1))
+    rois = np.concatenate(
+        [np.zeros((80, 1)), y, np.full((80, 1), 280.0), y + 8], axis=1
+    )  # 80 full-width banners -> all oversized at their level
+    rois = jnp.asarray(rois.astype(np.float32))
+    got = np.asarray(multiscale_roi_align(feats, rois))
+    want = np.asarray(multiscale_roi_align_dense(feats, rois))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_multiscale_batch_matches_single():
+    """The batched entry point (cond outside vmap) must equal per-image
+    multiscale_roi_align, including a batch member that forces the
+    global corner-window fallback for everyone."""
+    from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_batch
+
+    rs = np.random.RandomState(31)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(2, s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    xy1 = rs.uniform(-10, 250, size=(2, 90, 2))
+    wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(2, 90, 2)))
+    rois = np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
+    # image 1: mostly full-width banners -> > OVERSIZE_K oversized
+    y = rs.uniform(0, 200, size=(80, 1))
+    rois[1, :80] = np.concatenate(
+        [np.zeros((80, 1)), y, np.full((80, 1), 280.0), y + 8], axis=1
+    )
+    rois = jnp.asarray(rois)
+    got = np.asarray(multiscale_roi_align_batch(feats, rois))
+    want = np.stack(
+        [
+            np.asarray(
+                multiscale_roi_align(tuple(f[i] for f in feats), rois[i])
+            )
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
