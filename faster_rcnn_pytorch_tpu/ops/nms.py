@@ -210,32 +210,17 @@ def nms(
         more = jax.lax.dynamic_slice(remaining, (jnp.minimum(t, num_tiles - 1),), (1,))[0]
         return (t < num_tiles) & (count < stop_count) & (more > 0)
 
-    import os
-
-    from faster_rcnn_pytorch_tpu.ops.roi_pool import use_pallas_ops
-
-    # Measured on v5e: the XLA tiled formulation below outruns the Pallas
-    # kernel (5.9ms vs 11.5ms at 12k boxes) — XLA schedules the fused
-    # [tile, n] IoU reductions better than the in-kernel chunk loop. The
-    # kernel stays available behind FRT_PALLAS_NMS=1.
-    if (
-        os.environ.get("FRT_PALLAS_NMS")
-        and use_pallas_ops()
-        and tile % 128 == 0
-    ):
-        from faster_rcnn_pytorch_tpu.ops.pallas.nms_kernel import (
-            nms_keep_mask_pallas,
-        )
-
-        keep = nms_keep_mask_pallas(
-            sorted_boxes, sorted_valid, float(iou_threshold), tile=tile
-        )
-    else:
-        _, keep, _ = jax.lax.while_loop(
-            tile_cond,
-            tile_body,
-            (jnp.int32(0), jnp.zeros((n_pad,), dtype=bool), jnp.int32(0)),
-        )
+    # A Pallas sweep kernel was tried and deleted (round 2): the XLA
+    # tiled formulation outran it 5.9 vs 11.5 ms at 12k boxes on v5e —
+    # XLA schedules the fused [tile, n] IoU reductions better than an
+    # in-kernel chunk loop, and per-step DMA latency dominates kernels
+    # at this arithmetic intensity (same finding as the RoIAlign
+    # window-DMA kernel, ops/pallas/roi_align_kernel.py).
+    _, keep, _ = jax.lax.while_loop(
+        tile_cond,
+        tile_body,
+        (jnp.int32(0), jnp.zeros((n_pad,), dtype=bool), jnp.int32(0)),
+    )
 
     # First `post_k` kept boxes in score order -> fixed buffers. keep
     # lives in sorted coordinates, so the rank of each kept box is its

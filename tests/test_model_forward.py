@@ -164,3 +164,4 @@ def test_predict_score_threshold_is_respected(legacy):
     n_hi = int(np.asarray(det_hi.valid).sum())
     assert n_hi < n_lo
     assert n_lo > 0
+

@@ -31,42 +31,6 @@ def test_iou_kernel_eps0_matches_box_iou():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def test_nms_kernel_matches_oracle():
-    from faster_rcnn_pytorch_tpu.ops.pallas.nms_kernel import nms_keep_mask_pallas
-    from tests.test_nms import np_greedy_nms
-
-    rs = np.random.RandomState(7)
-    n, tile = 384, 128
-    boxes = boxes_fixture(rs, n)
-    scores = rs.uniform(size=n).astype(np.float32)
-    order = np.argsort(-scores, kind="stable")
-    sboxes = boxes[order]
-    svalid = np.ones(n, bool)
-    keep = np.asarray(
-        nms_keep_mask_pallas(
-            jnp.asarray(sboxes), jnp.asarray(svalid), 0.5, tile=tile, interpret=True
-        )
-    )
-    oracle = np_greedy_nms(boxes, scores, 0.5)
-    got = order[np.where(keep)[0]]
-    np.testing.assert_array_equal(np.sort(got), np.sort(oracle))
-
-
-def test_nms_kernel_respects_validity():
-    from faster_rcnn_pytorch_tpu.ops.pallas.nms_kernel import nms_keep_mask_pallas
-
-    rs = np.random.RandomState(8)
-    boxes = boxes_fixture(rs, 128)
-    valid = np.zeros(128, bool)
-    valid[:10] = True
-    keep = np.asarray(
-        nms_keep_mask_pallas(
-            jnp.asarray(boxes), jnp.asarray(valid), 0.5, tile=128, interpret=True
-        )
-    )
-    assert not keep[10:].any()
-
-
 def test_roi_pool_kernel_matches_lax():
     rs = np.random.RandomState(2)
     feat = jnp.asarray(rs.normal(size=(25, 19, 128)).astype(np.float32))

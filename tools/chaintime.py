@@ -25,12 +25,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(step_fn, k_lo: int = 2, k_hi: int = 12, repeats: int = 3):
+def chain_time(
+    step_fn, k_lo: int = 2, k_hi: int = 12, repeats: int = 3, args=()
+):
     """Measure on-device seconds per invocation of ``step_fn``.
 
     Args:
-      step_fn: ``f(i: int32 scalar) -> f32 scalar``; should run the op
-        under test with input perturbed by ``i`` and reduce to a scalar.
+      step_fn: ``f(i: int32 scalar, *args) -> f32 scalar``; should run
+        the op under test with input perturbed by ``i`` and reduce to a
+        scalar. Pass big arrays (params, images) through ``args`` —
+        closed-over device arrays become constants EMBEDDED in the
+        serialized program, and the tunnel's remote_compile endpoint
+        rejects requests past a few hundred MB (HTTP 413; a closed-over
+        VGG16 param tree is enough to trip it).
       k_lo/k_hi: chain lengths for the slope.
       repeats: fetch repetitions; the minimum is reported (tunnel noise
         is one-sided).
@@ -41,9 +48,9 @@ def chain_time(step_fn, k_lo: int = 2, k_hi: int = 12, repeats: int = 3):
 
     def chained(k):
         @jax.jit
-        def run(seed):
+        def run(seed, *a):
             def body(carry, i):
-                return carry + step_fn(i + seed), None
+                return carry + step_fn(i + seed, *a), None
 
             total, _ = jax.lax.scan(
                 body, jnp.float32(0.0), jnp.arange(k, dtype=jnp.int32)
@@ -56,7 +63,7 @@ def chain_time(step_fn, k_lo: int = 2, k_hi: int = 12, repeats: int = 3):
 
     def fetch_time(run, seed):
         t0 = time.perf_counter()
-        v = np.asarray(run(jnp.int32(seed)))
+        v = np.asarray(run(jnp.int32(seed), *args))
         dt = time.perf_counter() - t0
         assert np.isfinite(v), "op under test produced non-finite result"
         return dt
