@@ -281,3 +281,32 @@ def test_multiscale_batch_matches_single():
         ]
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_multiscale_grad_matches_dense_grad():
+    """The custom VJP (dense-matmul backward) must match autodiff of the
+    dense formulation; rois carry zero gradient."""
+    import jax
+
+    from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_dense
+
+    rs = np.random.RandomState(41)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(s, s + 8, 6)).astype(np.float32))
+        for s in (32, 16, 8, 4)
+    )
+    xy1 = rs.uniform(0, 80, size=(20, 2))
+    wh = np.exp(rs.uniform(np.log(4), np.log(120), size=(20, 2)))
+    rois = jnp.asarray(np.concatenate([xy1, xy1 + wh], 1).astype(np.float32))
+    g = jnp.asarray(rs.normal(size=(20, 7, 7, 6)).astype(np.float32))
+
+    def loss_gather(f):
+        return (multiscale_roi_align(f, rois) * g).sum()
+
+    def loss_dense(f):
+        return (multiscale_roi_align_dense(f, rois) * g).sum()
+
+    got = jax.grad(loss_gather)(feats)
+    want = jax.grad(loss_dense)(feats)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
