@@ -240,13 +240,13 @@ def _corner_starts_weights(coords: Array, size: Array):
 def _align_prep(features, rois, strides, output_size, sampling_ratio):
     """Shared prep: level-stacked buffer + per-sample corner geometry.
 
-    Returns ``(buf, ys_g, xs, wy, wx)`` where ``buf`` is the
-    ``[sum(h_l), w_max, c]`` row-stacked level buffer, ``ys_g``
-    ``[n, S]`` global (level-offset) y window starts, ``xs`` ``[n, S]``
-    x window starts in level coords, and ``wy``/``wx`` ``[n, S, 2]``
-    corner weights.
+    Returns ``(buf, ys, xs, wy, wx, hs, ws, row_offs)`` where ``buf`` is
+    the ``[sum(h_l), w_max, c]`` row-stacked level buffer, ``ys``/``xs``
+    ``[n, S]`` window starts in *level-local* coords, ``wy``/``wx``
+    ``[n, S, 2]`` corner weights, ``hs``/``ws`` ``[n]`` the assigned
+    level's dims per roi, and ``row_offs`` ``[n]`` the level's row
+    offset into ``buf``.
     """
-    n = rois.shape[0]
     lvl = fpn_level_assignment(rois, k_min=2, k_max=2 + len(strides) - 1)
 
     w_max = max(f.shape[1] for f in features)
@@ -273,7 +273,7 @@ def _align_prep(features, rois, strides, output_size, sampling_ratio):
     xcoords = _sample_coords(x1, roi_w, output_size, sampling_ratio)
     ys, wy = _corner_starts_weights(ycoords, hs[:, None])  # [n,S], [n,S,2]
     xs, wx = _corner_starts_weights(xcoords, ws[:, None])
-    return buf, row_offs[:, None] + ys, xs, wy, wx
+    return buf, ys, xs, wy, wx, hs, ws, row_offs
 
 
 def _align_corner_windows(buf, ys_g, xs, wy, wx, output_size, sampling_ratio, dtype):
@@ -320,6 +320,158 @@ def _align_corner_windows(buf, ys_g, xs, wy, wx, output_size, sampling_ratio, dt
     return pooled.reshape(n, p, p, c).astype(dtype)
 
 
+#: Per-image budget for the compacted per-sample fallback inside the
+#: bin-window fast path. Rois whose bin geometry does not fit a
+#: ``_BIN_WIN``-cell window (aspect ratio beyond ~4:1 at their assigned
+#: FPN level) are re-pooled exactly through the corner-window path; if
+#: MORE than this many rois are oversized in one image, the whole call
+#: falls back to the all-corner path (lax.cond), so the result is exact
+#: for every input.
+OVERSIZE_K = 64
+
+#: Bin gather window cells per axis. A roi bin of size ``b`` cells needs
+#: ``floor(b/2) + 2`` window cells (sampling_ratio=2); 4 covers ``b < 4``
+#: i.e. roi extent < 28 cells at its level — every properly
+#: level-assigned roi of aspect ratio under ~4:1.
+_BIN_WIN = 4
+
+
+def _bin_geometry(ys, xs, wy, wx, hs, ws, output_size, sampling_ratio, win):
+    """Per-bin window starts + scattered per-axis weights.
+
+    The ``sampling_ratio**2`` bilinear samples of one output bin factor
+    over axes — ``sum_{u,v} wy_u (x) wx_v = (sum_u wy_u) (x) (sum_v
+    wx_v)`` — so each bin pools from ONE ``(win, win, c)`` window with
+    per-axis weight vectors built by scattering every sample's 2-corner
+    weights into its window offset slots.
+
+    Args:
+      ys/xs: ``[n, S]`` per-sample level-local window starts.
+      wy/wx: ``[n, S, 2]`` per-sample corner weights.
+      hs/ws: ``[n]`` assigned-level dims.
+
+    Returns:
+      ``(yb, xb, wyb, wxb, fits)``: ``[n, P]`` int32 window starts
+      (level-local), ``[n, P, win]`` f32 axis weights, and ``[n]`` bool
+      marking rois whose every sample fits its bin window.
+    """
+    n, s = ys.shape
+    p, u = output_size, sampling_ratio
+    iota = jnp.arange(win, dtype=jnp.int32)
+
+    def axis(starts, w2, size):
+        sb = starts.reshape(n, p, u)
+        base = jnp.clip(jnp.min(sb, axis=2), 0, (size - win)[:, None])  # [n,P]
+        off = sb - base[:, :, None]  # [n,P,u] >= 0 by construction
+        ok = jnp.all(off <= win - 2, axis=(1, 2))
+        off = jnp.clip(off, 0, win - 2)
+        wb2 = w2.reshape(n, p, u, 2)
+        onehot_lo = (off[..., None] == iota).astype(jnp.float32)
+        onehot_hi = ((off + 1)[..., None] == iota).astype(jnp.float32)
+        wb = (onehot_lo * wb2[..., 0:1] + onehot_hi * wb2[..., 1:2]).sum(axis=2)
+        return base, wb, ok
+
+    yb, wyb, ok_y = axis(ys, wy, hs)
+    xb, wxb, ok_x = axis(xs, wx, ws)
+    return yb, xb, wyb, wxb, ok_y & ok_x
+
+
+def _align_bin_windows(
+    buf, row_offs, yb, xb, wyb, wxb, sampling_ratio, win, dtype
+):
+    """One ``(win, win, c)`` gather per output bin (n*P*P indices — 4x
+    fewer than the per-sample corner path, same bytes at win=4)."""
+    n, p = yb.shape
+    c = buf.shape[-1]
+    ybg = row_offs[:, None] + yb  # [n,P] global rows
+    starts = jnp.stack(
+        [
+            jnp.broadcast_to(ybg[:, :, None], (n, p, p)),
+            jnp.broadcast_to(xb[:, None, :], (n, p, p)),
+        ],
+        axis=-1,
+    )
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    g = jax.lax.gather(
+        buf, starts.reshape(-1, 2), dn, slice_sizes=(win, win, c), mode="clip"
+    )  # [n*P*P, win, win, c] — consumed in its native layout (DESIGN.md:
+    # a reshape between gather and reduce forces a full relayout copy).
+    w4 = (wyb[:, :, None, :, None] * wxb[:, None, :, None, :]).reshape(
+        n * p * p, win, win, 1
+    ) / float(sampling_ratio * sampling_ratio)
+    pooled = (g.astype(jnp.float32) * w4).sum(axis=(1, 2))  # [n*P*P, c]
+    return pooled.reshape(n, p, p, c).astype(dtype)
+
+
+def _count_oversized(rois, level_dims, strides, output_size, sampling_ratio, win):
+    """Number of rois whose bin geometry exceeds the ``win`` window —
+    pure roi math (no features), used by the batch entry to hoist the
+    fallback cond outside vmap."""
+    lvl = fpn_level_assignment(rois, k_min=2, k_max=2 + len(strides) - 1)
+    hs = jnp.asarray([d[0] for d in level_dims], jnp.int32)[lvl]
+    ws = jnp.asarray([d[1] for d in level_dims], jnp.int32)[lvl]
+    scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
+    x1, y1 = rois[:, 0] * scale, rois[:, 1] * scale
+    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+    ys, _ = _corner_starts_weights(
+        _sample_coords(y1, roi_h, output_size, sampling_ratio), hs[:, None]
+    )
+    xs, _ = _corner_starts_weights(
+        _sample_coords(x1, roi_w, output_size, sampling_ratio), ws[:, None]
+    )
+    n = rois.shape[0]
+    p, u = output_size, sampling_ratio
+
+    def axis_ok(starts, size):
+        sb = starts.reshape(n, p, u)
+        base = jnp.clip(jnp.min(sb, axis=2), 0, (size - win)[:, None])
+        return jnp.all(sb - base[:, :, None] <= win - 2, axis=(1, 2))
+
+    return (~(axis_ok(ys, hs) & axis_ok(xs, ws))).sum()
+
+
+def _single_corner(features, rois, strides, output_size, sampling_ratio):
+    """All-rois per-sample corner-window path (exact for any geometry)."""
+    dtype = features[0].dtype
+    buf, ys, xs, wy, wx, _, _, row_offs = _align_prep(
+        features, rois, strides, output_size, sampling_ratio
+    )
+    return _align_corner_windows(
+        buf, row_offs[:, None] + ys, xs, wy, wx, output_size, sampling_ratio, dtype
+    )
+
+
+def _single_fast(features, rois, strides, output_size, sampling_ratio):
+    """Bin-window gather + compacted corner-window fallback for up to
+    ``OVERSIZE_K`` oversized rois. Exact iff at most ``OVERSIZE_K`` rois
+    are oversized — callers guard with :func:`_count_oversized`."""
+    dtype = features[0].dtype
+    n = rois.shape[0]
+    win = _BIN_WIN
+    buf, ys, xs, wy, wx, hs, ws, row_offs = _align_prep(
+        features, rois, strides, output_size, sampling_ratio
+    )
+    yb, xb, wyb, wxb, fits = _bin_geometry(
+        ys, xs, wy, wx, hs, ws, output_size, sampling_ratio, win
+    )
+    pooled = _align_bin_windows(
+        buf, row_offs, yb, xb, wyb, wxb, sampling_ratio, win, dtype
+    )
+    k = min(OVERSIZE_K, n)
+    _, sel = jax.lax.top_k((~fits).astype(jnp.float32), k)
+    ys_g = row_offs[:, None] + ys
+    fb = _align_corner_windows(
+        buf, ys_g[sel], xs[sel], wy[sel], wx[sel], output_size, sampling_ratio, dtype
+    )
+    return pooled.at[sel].set(fb)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
+)
 def multiscale_roi_align_batch(
     features,
     rois,
@@ -328,16 +480,59 @@ def multiscale_roi_align_batch(
     sampling_ratio: int = 2,
 ):
     """Batched :func:`multiscale_roi_align`: features ``[B, h_l, w_l, c]``
-    per level, rois ``[B, n, 4]`` -> ``[B, n, P, P, c]``."""
-    return jax.vmap(
-        lambda f2, r: multiscale_roi_align(
-            f2,
-            r,
-            strides=strides,
-            output_size=output_size,
-            sampling_ratio=sampling_ratio,
+    per level, rois ``[B, n, 4]`` -> ``[B, n, P, P, c]``.
+
+    The bin-window/corner dispatch cond is hoisted OUTSIDE the batch
+    vmap (a vmapped cond lowers to a select that executes both paths):
+    one image with > ``OVERSIZE_K`` oversized rois routes the whole
+    batch through the corner path."""
+    level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    if min(min(d) for d in level_dims) < _BIN_WIN:
+        return jax.vmap(
+            lambda f, r: _single_corner(f, r, strides, output_size, sampling_ratio)
+        )(features, rois)
+    k = min(OVERSIZE_K, rois.shape[1])
+    over = jax.vmap(
+        lambda r: _count_oversized(
+            r, level_dims, strides, output_size, sampling_ratio, _BIN_WIN
         )
-    )(features, rois)
+    )(rois).max()
+    return jax.lax.cond(
+        over <= k,
+        lambda _: jax.vmap(
+            lambda f, r: _single_fast(f, r, strides, output_size, sampling_ratio)
+        )(features, rois),
+        lambda _: jax.vmap(
+            lambda f, r: _single_corner(f, r, strides, output_size, sampling_ratio)
+        )(features, rois),
+        None,
+    )
+
+
+def _msra_batch_fwd(features, rois, strides, output_size, sampling_ratio):
+    out = multiscale_roi_align_batch(
+        features, rois, strides, output_size, sampling_ratio
+    )
+    return out, (features, rois)
+
+
+def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
+    """Same dense-matmul VJP story as :func:`multiscale_roi_align` —
+    see :func:`_msra_bwd`."""
+    features, rois = res
+    _, vjp = jax.vjp(
+        lambda f: jax.vmap(
+            lambda f2, r: multiscale_roi_align_dense(
+                f2, r, strides, output_size, sampling_ratio
+            )
+        )(f, rois),
+        features,
+    )
+    (df,) = vjp(g)
+    return df, jnp.zeros_like(rois)
+
+
+multiscale_roi_align_batch.defvjp(_msra_batch_fwd, _msra_batch_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -350,23 +545,29 @@ def multiscale_roi_align(
     roi_chunk: int = 32,  # kept for API parity; unused by the gather path
 ) -> Array:
     """FPN-level-assigning RoIAlign (``MultiScaleRoIAlign`` parity,
-    models/new_model.py:127) — corner-window gather formulation.
+    models/new_model.py:127) — per-bin window gather formulation.
 
     TPU-native strategy: all level maps are stacked row-wise into one
-    ``[sum(h_l), w_max, c]`` buffer; each roi gathers one ``(2, 2, c)``
-    corner window per bilinear sample in its assigned level's
-    coordinates, and one fused multiply+reduce folds the corner
-    reduction and the sub-sample mean. Exact for every roi geometry
-    with no budgets or fallbacks; oracle-fuzzed vs
-    :func:`multiscale_roi_align_dense`.
+    ``[sum(h_l), w_max, c]`` buffer; each output BIN gathers one
+    ``(4, 4, c)`` window in its roi's assigned-level coordinates, and
+    the bin's ``sampling_ratio^2`` bilinear samples are applied as
+    separable per-axis weight vectors (the sample sum factors over
+    axes). Rois too elongated for the 4-cell window (aspect beyond
+    ~4:1 at their level) are re-pooled exactly through a compacted
+    per-sample corner-window gather (budget ``OVERSIZE_K``); if even
+    that budget overflows, a ``lax.cond`` reroutes the whole call
+    through the all-corner path — so the result is exact for EVERY
+    input, with the fast path covering every realistic scene.
+    Oracle-fuzzed vs :func:`multiscale_roi_align_dense`.
 
     Evolution, measured on v5e at 800x800 b2 x 1000 rois (the XLA TPU
     gather is index-issue bound at ~23M indices/s, and einsum consumers
     of gathers trigger multi-GB f32 relayout copies):
     dense all-levels matmul 37.5 ms -> per-corner row gather 18.7 ->
-    THIS corner-window path 16.7. Rejected with measurements: y-pair
-    (2,56,c) strips + MXU x-interp (26-29 ms — the contraction relayouts
-    outweigh the 14x index reduction), an unpipelined Pallas
+    per-sample corner windows 16.7 -> THIS per-bin window path (4x
+    fewer indices, same bytes). Rejected with measurements: y-pair
+    (2,56,c) strips + MXU x-interp (26-29 ms — the contraction
+    relayouts outweigh the 14x index reduction), an unpipelined Pallas
     window-DMA kernel (61.6 ms, ops/pallas/roi_align_kernel.py), and a
     level-concat conv for the RPN head (same relayout trap).
 
@@ -375,18 +576,22 @@ def multiscale_roi_align(
         ``h_l, w_l >= 2``.
       rois: ``[n, 4]`` xyxy in image pixel coordinates.
     """
-    c = features[0].shape[-1]
-    dtype = features[0].dtype
-
     assert all(f.shape[0] >= 2 and f.shape[1] >= 2 for f in features), (
         "multiscale_roi_align requires every level map >= 2x2"
     )
 
-    buf, ys_g, xs, wy, wx = _align_prep(
-        features, rois, strides, output_size, sampling_ratio
+    if min(min(f.shape[0], f.shape[1]) for f in features) < _BIN_WIN:
+        return _single_corner(features, rois, strides, output_size, sampling_ratio)
+
+    level_dims = tuple((f.shape[0], f.shape[1]) for f in features)
+    over = _count_oversized(
+        rois, level_dims, strides, output_size, sampling_ratio, _BIN_WIN
     )
-    return _align_corner_windows(
-        buf, ys_g, xs, wy, wx, output_size, sampling_ratio, dtype
+    return jax.lax.cond(
+        over <= min(OVERSIZE_K, rois.shape[0]),
+        lambda _: _single_fast(features, rois, strides, output_size, sampling_ratio),
+        lambda _: _single_corner(features, rois, strides, output_size, sampling_ratio),
+        None,
     )
 
 

@@ -36,7 +36,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (  # noqa: E402
 from faster_rcnn_pytorch_tpu.models import anchors as anchor_lib  # noqa: E402
 from faster_rcnn_pytorch_tpu.models.rpn import propose  # noqa: E402
 from faster_rcnn_pytorch_tpu.ops.nms import multiclass_nms  # noqa: E402
-from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align  # noqa: E402
+from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_batch  # noqa: E402
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 CANVAS = 800
@@ -108,9 +108,11 @@ def main():
     scale = jnp.array([CANVAS, CANVAS, CANVAS, CANVAS], jnp.float32)
 
     def align_fn(f, r):
-        return jax.vmap(
-            lambda fs, ri: multiscale_roi_align(fs, ri * scale, strides=(4, 8, 16, 32))
-        )((f[0], f[1], f[2], f[3]), r)
+        # batch entry point: keeps the oversize-fallback cond OUTSIDE
+        # vmap (a vmapped cond lowers to select and runs both paths).
+        return multiscale_roi_align_batch(
+            (f[0], f[1], f[2], f[3]), r * scale, strides=(4, 8, 16, 32)
+        )
 
     align_jit = jax.jit(align_fn)
     _, dt = timed(
