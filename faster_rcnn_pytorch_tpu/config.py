@@ -39,9 +39,13 @@ class Options:
     weight_decay: float = 5e-4
     momentum: float = 0.9
     start_epoch: int = 0
-    scheduler: str = "cosine"  # cosine | multistep
+    scheduler: str = "cosine"  # cosine | multistep | constant | cosine_warmup_restarts
     milestones: tuple = (16, 22)
     eta_min: float = 5e-5
+    # cosine_warmup_restarts only (reference scheduler.py:6-92):
+    cycle_mult: float = 1.0  # cycle length growth factor
+    cycle_gamma: float = 1.0  # per-cycle peak-lr decay
+    first_cycle_epoch: int = 0  # first cycle length in epochs (0 = all epochs)
     seed: int = 0
     # checkpoints / logging
     log_dir: str = "./logs"

@@ -122,6 +122,9 @@ def main(argv=None) -> int:
         milestones=tuple(opts.milestones),
         eta_min=opts.eta_min,
         warmup_epochs=opts.warmup_epoch,
+        cycle_mult=opts.cycle_mult,
+        restart_gamma=opts.cycle_gamma,
+        first_cycle_epochs=opts.first_cycle_epoch,
     )
     optimizer = make_optimizer(
         params, schedule, momentum=opts.momentum, weight_decay=opts.weight_decay

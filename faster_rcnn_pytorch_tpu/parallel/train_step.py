@@ -47,11 +47,17 @@ def make_lr_schedule(
     eta_min: float = 5e-5,
     warmup_epochs: int = 0,
     gamma: float = 0.1,
+    cycle_mult: float = 1.0,
+    restart_gamma: float = 1.0,
+    first_cycle_epochs: int = 0,
 ) -> Callable:
     """LR schedules: 'cosine' (published VOC recipe, README cosine to
     eta_min), 'multistep' (exp1 recipe, milestones epochs x0.1), both with
     optional linear warmup (the reference's ``warmup_epoch`` flag,
-    config.py:26, finally wired)."""
+    config.py:26, finally wired), and 'cosine_warmup_restarts' (full
+    parity with the reference's CosineAnnealingWarmupRestarts,
+    scheduler.py:6-92, including ``cycle_mult`` cycle growth and
+    ``restart_gamma`` per-cycle max-lr decay)."""
     warm = warmup_epochs * steps_per_epoch
     total = max(epochs * steps_per_epoch, 1)
 
@@ -67,14 +73,34 @@ def make_lr_schedule(
         elif kind == "constant":
             lr = jnp.asarray(base_lr, jnp.float32)
         elif kind == "cosine_warmup_restarts":
-            # Parity with the reference's (unused) warmup-restart scheduler
-            # (scheduler.py:6-92): cycles of `total` steps, linear warmup of
-            # `warm` steps inside each cycle, cosine decay after.
-            cycle_pos = jnp.mod(step, max(total, 1))
-            t = jnp.clip((cycle_pos - warm) / max(total - warm, 1), 0.0, 1.0)
-            cos_lr = eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * t))
-            warm_lr = base_lr * (cycle_pos + 1) / max(warm, 1)
-            return jnp.where(cycle_pos < warm, warm_lr, cos_lr)
+            # Exact parity with the reference's warmup-restart scheduler
+            # (scheduler.py:6-92): ``schedule(t)`` equals the torch
+            # scheduler's lr after ``t`` step() calls post-init. Cycle
+            # lengths follow L_0 = first, L_{k+1} = int((L_k - warm) *
+            # cycle_mult) + warm; each cycle's peak is base_lr *
+            # restart_gamma**k; warmup ramps min->peak inside the cycle.
+            assert cycle_mult >= 1.0, "cycle_mult < 1 unsupported"
+            first = max((first_cycle_epochs or epochs) * steps_per_epoch, 1)
+            assert warm < first, "warmup must be shorter than the first cycle"
+            starts, lens = [0], [first]
+            while starts[-1] + lens[-1] <= total and len(lens) < 64:
+                starts.append(starts[-1] + lens[-1])
+                lens.append(int((lens[-1] - warm) * cycle_mult) + warm)
+            starts_a = jnp.asarray(starts, jnp.float32)
+            lens_a = jnp.asarray(lens, jnp.float32)
+            k = jnp.sum((step >= starts_a[1:]).astype(jnp.int32))
+            s_in = step - starts_a[k]
+            cur = lens_a[k]
+            max_lr = base_lr * jnp.float32(restart_gamma) ** k.astype(jnp.float32)
+            t = (s_in - warm) / jnp.maximum(cur - warm, 1.0)
+            cos_lr = eta_min + 0.5 * (max_lr - eta_min) * (1 + jnp.cos(jnp.pi * t))
+            if not warm:
+                # init quirk: the reference's init_lr() overwrites the
+                # post-construction lr to min_lr (scheduler.py:44-51),
+                # so step 0 is min_lr even without warmup.
+                return jnp.where(step < 1, eta_min, cos_lr)
+            warm_lr = (max_lr - eta_min) * s_in / warm + eta_min
+            return jnp.where(s_in < warm, warm_lr, cos_lr)
         else:
             raise ValueError(f"unknown schedule {kind!r}")
         if warm:

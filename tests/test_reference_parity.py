@@ -424,3 +424,51 @@ def test_loss_parity(ref):
     np.testing.assert_allclose(float(got.rpn_reg), want[2], rtol=1e-5)
     np.testing.assert_allclose(float(got.roi_cls), want[3], rtol=1e-5)
     np.testing.assert_allclose(float(got.roi_reg), want[4], rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "first,mult,gamma,warm",
+    [(10, 1.0, 1.0, 3), (8, 2.0, 0.5, 2), (5, 1.5, 0.8, 0), (6, 1.0, 0.7, 1)],
+)
+def test_scheduler_restart_parity(first, mult, gamma, warm):
+    """schedule(t) must equal the reference CosineAnnealingWarmupRestarts
+    (scheduler.py:6-92) lr after t step() calls post-init, including
+    cycle_mult cycle growth and gamma per-cycle peak decay."""
+    from faster_rcnn_pytorch_tpu.parallel.train_step import make_lr_schedule
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        import scheduler as ref_sched
+    finally:
+        sys.path.remove(REFERENCE)
+
+    max_lr, min_lr, total = 1e-2, 1e-4, 40
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=max_lr)
+    ref = ref_sched.CosineAnnealingWarmupRestarts(
+        opt,
+        first_cycle_steps=first,
+        cycle_mult=mult,
+        max_lr=max_lr,
+        min_lr=min_lr,
+        warmup_steps=warm,
+        gamma=gamma,
+    )
+    want = []
+    for _ in range(total):
+        want.append(opt.param_groups[0]["lr"])
+        ref.step()
+
+    sched = make_lr_schedule(
+        "cosine_warmup_restarts",
+        base_lr=max_lr,
+        epochs=total,
+        steps_per_epoch=1,
+        eta_min=min_lr,
+        warmup_epochs=warm,
+        cycle_mult=mult,
+        restart_gamma=gamma,
+        first_cycle_epochs=first,
+    )
+    got = [float(sched(t)) for t in range(total)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
