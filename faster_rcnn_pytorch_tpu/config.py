@@ -50,6 +50,8 @@ class Options:
     # checkpoints / logging
     log_dir: str = "./logs"
     test_epoch: str = "best"
+    ckpt_backend: str = "flax"  # flax (single file) | orbax (dir, scale path)
+    async_checkpoint: bool = False  # orbax only: overlap save with training
     # inference
     thres: float = 0.05
     demo_root: str = "./demo"

@@ -59,6 +59,12 @@ def train_one_epoch(
 
     if is_main():
         path = checkpoint_path(opts.log_dir, opts.name, epoch)
-        save_checkpoint(path, state, metadata={"epoch": epoch})
+        save_checkpoint(
+            path,
+            state,
+            metadata={"epoch": epoch},
+            backend=getattr(opts, "ckpt_backend", "flax"),
+            async_save=getattr(opts, "async_checkpoint", False),
+        )
         print(f"saved checkpoint {path}")
     return state

@@ -43,6 +43,7 @@ from faster_rcnn_pytorch_tpu.utils.checkpoint import (
     import_fpn_torch_params,
     import_legacy_torch_params,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from faster_rcnn_pytorch_tpu.utils.logging import ScalarWriter, is_main, print0
 
@@ -173,8 +174,11 @@ def main(argv=None) -> int:
                 checkpoint_path(opts.log_dir, opts.name, "best"),
                 state,
                 metadata={"epoch": epoch, "map": best_map},
+                backend=opts.ckpt_backend,
+                async_save=opts.async_checkpoint,
             )
     writer.close()
+    wait_for_checkpoints()
     return 0
 
 

@@ -34,7 +34,26 @@ import numpy as np
 import flax.serialization
 
 
-def save_checkpoint(path: str, state: Any, metadata: dict | None = None) -> None:
+def save_checkpoint(
+    path: str,
+    state: Any,
+    metadata: dict | None = None,
+    backend: str = "flax",
+    async_save: bool = False,
+) -> None:
+    """Write a checkpoint.
+
+    backend 'flax' (default): single msgpack+pickle file, atomic
+    tmp+rename — the reference's torch.save equivalent. backend 'orbax':
+    an orbax checkpoint *directory* at ``path`` (its own atomicity via
+    finalize-rename), optionally asynchronous (``async_save`` — the
+    train loop keeps stepping while the previous epoch's state streams
+    out; call :func:`wait_for_checkpoints` before exit). Orbax is the
+    scale path: multi-host coordinated saves, per-array chunking.
+    """
+    if backend == "orbax":
+        _save_orbax(path, state, metadata, async_save)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "state": flax.serialization.to_bytes(state),
@@ -47,10 +66,75 @@ def save_checkpoint(path: str, state: Any, metadata: dict | None = None) -> None
 
 
 def load_checkpoint(path: str, template: Any) -> tuple[Any, dict]:
+    """Read a checkpoint saved by either backend (auto-detected: orbax
+    checkpoints are directories, flax ones are files)."""
+    if os.path.isdir(path):
+        return _load_orbax(path, template)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     state = flax.serialization.from_bytes(template, payload["state"])
     return state, payload.get("metadata", {})
+
+
+_ASYNC_CHECKPOINTER = None
+
+
+def _orbax_checkpointer(async_save: bool):
+    import orbax.checkpoint as ocp
+
+    global _ASYNC_CHECKPOINTER
+    if not async_save:
+        return ocp.StandardCheckpointer(), False
+    if _ASYNC_CHECKPOINTER is None:
+        _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _ASYNC_CHECKPOINTER, True
+
+
+def _save_orbax(path, state, metadata, async_save):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.isdir(path):  # orbax refuses to overwrite; epochs rotate
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr, is_async = _orbax_checkpointer(async_save)
+    if is_async:
+        ckptr.wait_until_finished()  # at most one save in flight
+        ckptr.save(path, args=ocp.args.StandardSave(state))
+    else:
+        with ckptr:
+            ckptr.save(path, state)
+    # metadata sidecar (epoch/mAP scalars; orbax trees hold arrays only)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(metadata or {}, f)
+
+
+def _load_orbax(path, template):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, template)
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async orbax save has committed (call
+    before process exit)."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
 
 
 def checkpoint_path(log_dir: str, name: str, epoch: int | str) -> str:

@@ -6,6 +6,8 @@ verified numerically: OIHW->HWIO conv kernels against
 permutation against a real torch Linear.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -136,3 +138,37 @@ def test_module_prefix_stripped():
     sd = {"module.extractor.0.weight": np.zeros((2, 2))}
     out = ck._strip_module(sd)
     assert "extractor.0.weight" in out
+
+
+def test_orbax_roundtrip_and_autodetect(tmp_path):
+    """Orbax backend: directory checkpoint + metadata sidecar; loads are
+    auto-detected by path type, and re-saving an epoch slot rotates the
+    old directory."""
+    state = {
+        "p": np.arange(8, dtype=np.float32).reshape(2, 4),
+        "opt": {"mu": jnp.ones((3,), jnp.float32)},
+    }
+    path = str(tmp_path / "m.0.ckpt")
+    ck.save_checkpoint(path, state, metadata={"epoch": 0}, backend="orbax")
+    assert os.path.isdir(path)
+    loaded, meta = ck.load_checkpoint(path, state)
+    assert meta == {"epoch": 0}
+    np.testing.assert_array_equal(np.asarray(loaded["p"]), state["p"])
+    np.testing.assert_array_equal(np.asarray(loaded["opt"]["mu"]), 1.0)
+
+    # overwrite same slot with new values
+    state2 = {"p": state["p"] + 1, "opt": {"mu": jnp.zeros((3,), jnp.float32)}}
+    ck.save_checkpoint(path, state2, metadata={"epoch": 0}, backend="orbax")
+    loaded2, _ = ck.load_checkpoint(path, state)
+    np.testing.assert_array_equal(np.asarray(loaded2["p"]), state["p"] + 1)
+
+
+def test_orbax_async_save(tmp_path):
+    state = {"w": jnp.full((16, 16), 3.0)}
+    path = str(tmp_path / "m.async.ckpt")
+    ck.save_checkpoint(path, state, metadata={"epoch": 5}, backend="orbax",
+                       async_save=True)
+    ck.wait_for_checkpoints()
+    loaded, meta = ck.load_checkpoint(path, state)
+    assert meta["epoch"] == 5
+    np.testing.assert_array_equal(np.asarray(loaded["w"]), 3.0)

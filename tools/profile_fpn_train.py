@@ -1,0 +1,95 @@
+"""Chain-timed attribution of the FPN train step (fwd+bwd) on the chip.
+
+Measures: full train-step grad, align fwd alone, align fwd+bwd (the
+custom dense-matmul VJP), and backbone fwd+bwd — the candidates for the
+next optimisation pass.
+
+Run: python tools/profile_fpn_train.py [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_pytorch_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
+
+from tools.chaintime import chain_time
+
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model, init_detector_params
+from faster_rcnn_pytorch_tpu.ops.roi_align import (
+    multiscale_roi_align_batch,
+    multiscale_roi_align_dense,
+)
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+CANVAS = 800
+N_ROIS = 512  # train-mode sampled rois per image
+
+
+def main():
+    rs = np.random.RandomState(0)
+    model, cfg = build_model("fpn", num_classes=91)
+    params = init_detector_params(model, jax.random.key(0))
+
+    images = jnp.asarray(
+        rs.normal(size=(BATCH, CANVAS, CANVAS, 3)).astype(np.float32)
+    )
+    feats = jax.jit(lambda p, im: model.apply(p, im, method="features"))(
+        params, images
+    )
+    feats4 = tuple(f.astype(jnp.float32) for f in feats[:4])
+    xy1 = rs.uniform(0, 600, size=(BATCH, N_ROIS, 2))
+    wh = np.exp(rs.uniform(np.log(8), np.log(500), size=(BATCH, N_ROIS, 2)))
+    rois = jnp.asarray(
+        np.concatenate([xy1, np.minimum(xy1 + wh, CANVAS)], -1).astype(np.float32)
+    )
+
+    def align_fwd(i, f, r):
+        out = multiscale_roi_align_batch(
+            tuple(x + i * 1e-6 for x in f), r
+        )
+        return out.astype(jnp.float32).sum()
+
+    def align_fwdbwd(i, f, r):
+        g = jax.grad(
+            lambda ff: multiscale_roi_align_batch(ff, r).astype(jnp.float32).sum()
+        )(tuple(x + i * 1e-6 for x in f))
+        return sum(x.sum() for x in g)
+
+    def align_dense_fwdbwd(i, f, r):
+        g = jax.grad(
+            lambda ff: jax.vmap(
+                lambda f2, rr: multiscale_roi_align_dense(f2, rr)
+            )(ff, r).astype(jnp.float32).sum()
+        )(tuple(x + i * 1e-6 for x in f))
+        return sum(x.sum() for x in g)
+
+    def backbone_fwdbwd(i, p, im):
+        g = jax.grad(
+            lambda pp: sum(
+                x.astype(jnp.float32).sum()
+                for x in model.apply(pp, im + i * 1e-4, method="features")
+            )
+        )(p)
+        return sum(x.sum() for x in jax.tree.leaves(g))
+
+    t, *_ = chain_time(align_fwd, args=(feats4, rois))
+    print(f"align fwd (bin-window)      : {t * 1e3:8.2f} ms/b{BATCH}x{N_ROIS}")
+    t, *_ = chain_time(align_fwdbwd, k_lo=2, k_hi=6, args=(feats4, rois))
+    print(f"align fwd+bwd (dense VJP)   : {t * 1e3:8.2f} ms")
+    t, *_ = chain_time(align_dense_fwdbwd, k_lo=2, k_hi=6, args=(feats4, rois))
+    print(f"align fwd+bwd (all dense)   : {t * 1e3:8.2f} ms")
+    t, *_ = chain_time(backbone_fwdbwd, k_lo=2, k_hi=5, args=(params, images))
+    print(f"backbone fwd+bwd            : {t * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
