@@ -99,3 +99,49 @@ def test_dp_train_step_and_parity():
     step1 = make_train_step(model, TINY_LEGACY, opt, mesh1, donate=False)
     _, metrics1 = step1(state1, shard_batch(batch, mesh1), jax.random.key(7))
     assert np.isclose(float(metrics8["loss"]), float(metrics1["loss"]), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_dp_fpn_train_step():
+    """8-way SPMD FPN train step (ResNet50-FPN + MultiScaleRoIAlign with
+    its custom dense VJP + oversize cond) compiles and runs under the
+    mesh: finite loss, params update."""
+    import dataclasses as dc
+
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        FPN_CONFIG,
+        init_detector_params,
+    )
+
+    tiny_fpn = dc.replace(
+        FPN_CONFIG,
+        num_classes=6,
+        pre_nms_train=64,
+        post_nms_train=16,
+        pre_nms_test=32,
+        post_nms_test=8,
+        roi_samples=8,
+        roi_pos_quota=2,
+        max_detections=8,
+    )
+    mesh8 = make_mesh()
+    model, _ = build_model("fpn", num_classes=6, dtype=jnp.float32)
+    params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
+    sched = make_lr_schedule("constant", 1e-3, 1, 1)
+    opt = make_optimizer(params, sched)
+
+    batch_np = tiny_batch(np.random.RandomState(5), b=8)
+    keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
+    batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
+
+    state = replicate(init_train_state(params, opt), mesh8)
+    step = make_train_step(model, tiny_fpn, opt, mesh8, donate=False)
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(state.params)]
+    state, metrics = step(state, shard_batch(batch, mesh8), jax.random.key(11))
+    assert np.isfinite(float(metrics["loss"]))
+    after = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+    # Frozen-BN stats/affines and frozen stages (conv1+layer1,
+    # trainable_layers=3) legitimately stay put — that's ~220 of the 295
+    # leaves; the trainable convs + FPN neck + heads (~72) must all move.
+    changed = sum(not np.allclose(b, a) for b, a in zip(before, after))
+    assert changed >= 60
