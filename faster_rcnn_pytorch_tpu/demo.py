@@ -22,6 +22,9 @@ from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
 def main(argv=None) -> int:
+    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     opts = load_options(argv)
     # num_classes by data type (demo.py:150-153).
     if opts.data_type == "voc":

@@ -84,10 +84,9 @@ def evaluate(
     gts: dict[int, dict] = {}
     t0 = time.time()
     n_img = 0
-    for batch in loader.epoch(0):
-        det = predict_fn(
-            params, batch["image"], batch["extent"].astype(np.float32)
-        )
+
+    def consume(det, batch):
+        nonlocal n_img
         for i in range(batch["image"].shape[0]):
             boxes, labels, scores = detections_to_original_coords(det, batch, i)
             img_id = int(batch["image_id"][i])
@@ -104,8 +103,29 @@ def evaluate(
                     "difficult": rec.difficult,
                 }
             n_img += 1
-        if max_images and n_img >= max_images:
+
+    # Keep a window of dispatched-but-unfetched batches in flight: jax
+    # dispatch is async, and the host fetch in consume() is the sync
+    # point — overlapping it with the next batches' device work (and the
+    # runtime round-trip latency) instead of alternating
+    # dispatch/fetch/dispatch like the reference's per-image loop
+    # (test.py:38-88).
+    from collections import deque
+
+    pending: deque = deque()
+    dispatched = 0
+    for batch in loader.epoch(0):
+        det = predict_fn(
+            params, batch["image"], batch["extent"].astype(np.float32)
+        )
+        pending.append((det, batch))
+        dispatched += batch["image"].shape[0]
+        if len(pending) >= 8:
+            consume(*pending.popleft())
+        if max_images and dispatched >= max_images:
             break
+    while pending:
+        consume(*pending.popleft())
     infer_time = time.time() - t0
     n_det = sum(len(p["scores"]) for p in predictions.values())
     print0(

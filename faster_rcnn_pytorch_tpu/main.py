@@ -85,6 +85,9 @@ def label_map_for(opts: Options, coco_index):
 
 
 def main(argv=None) -> int:
+    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     opts = load_options(argv)
     if opts.coordinator:
         initialize_multihost(opts.coordinator, opts.num_hosts, opts.host_id)

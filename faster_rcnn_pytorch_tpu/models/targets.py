@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from faster_rcnn_pytorch_tpu.ops.boxes import encode, masked_iou, xy_to_cxcy
 from faster_rcnn_pytorch_tpu.ops.sampling import (
@@ -38,7 +39,11 @@ from faster_rcnn_pytorch_tpu.ops.sampling import (
 
 Array = jax.Array
 
-REG_STD = jnp.array([0.1, 0.1, 0.2, 0.2], dtype=jnp.float32)
+# numpy, NOT jnp: a module-level jnp array initialises the jax backend
+# at import time — before CLIs can apply the platform override
+# (utils/runtime.py) — and pins a device constant that lowering then
+# block-fetches through the remote runtime.
+REG_STD = np.array([0.1, 0.1, 0.2, 0.2], dtype=np.float32)
 
 
 class RPNTargets(NamedTuple):

@@ -25,12 +25,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from faster_rcnn_pytorch_tpu.ops.boxes import box_iou
 
 Array = jax.Array
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# numpy, NOT jnp: module-level jnp scalars initialise the jax backend at
+# import time, before the CLI platform override (utils/runtime.py).
+_NEG_INF = np.float32(-np.inf)
 
 
 def _self_suppression_fixpoint(active0: Array, overlap: Array) -> Array:

@@ -25,6 +25,9 @@ from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
 def main(argv=None) -> int:
+    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     opts = load_options(argv)
     _, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
