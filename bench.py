@@ -41,16 +41,27 @@ def _measured_baseline() -> tuple[float | None, str]:
         return None, "unmeasured"
 
 
-def _run_pipelined(fn, feed, iters: int) -> float:
-    """Pipelined wall-clock over ``iters`` distinct inputs, one final
-    block (tunnel-safe: large N with device-resident inputs)."""
+def _sync(tree) -> None:
+    """Force execution through the remote runtime by host-fetching one
+    element. ``block_until_ready`` does NOT reliably force remote
+    execution through the tunnel (DESIGN.md measurement methodology) —
+    only a host fetch does; with the in-order device queue, fetching
+    from the LAST output forces everything before it."""
     import jax
 
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def _run_pipelined(fn, feed, iters: int) -> float:
+    """Pipelined wall-clock over ``iters`` distinct inputs, one final
+    host fetch (tunnel-safe: large N with device-resident inputs)."""
+
     outs = [fn(*feed(i)) for i in range(WARMUP)]
-    jax.block_until_ready(outs)
+    _sync(outs[-1])
     t0 = time.perf_counter()
     outs = [fn(*feed(WARMUP + i)) for i in range(iters)]
-    jax.block_until_ready(outs)
+    _sync(outs[-1])
     return time.perf_counter() - t0
 
 
@@ -132,11 +143,11 @@ def bench_train(generation: str, batch: int, iters: int) -> float:
     # donated state flows through the loop; sequential by construction
     for i in range(WARMUP):
         state, metrics = step_fn(state, batches[i], rng)
-    jax.block_until_ready(metrics)
+    _sync(metrics)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step_fn(state, batches[WARMUP + i], rng)
-    jax.block_until_ready((state, metrics))
+    _sync(metrics)
     elapsed = time.perf_counter() - t0
     return batch * iters / elapsed
 
