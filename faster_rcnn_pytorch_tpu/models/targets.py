@@ -33,7 +33,7 @@ import numpy as np
 
 from faster_rcnn_pytorch_tpu.ops.boxes import encode, masked_iou, xy_to_cxcy
 from faster_rcnn_pytorch_tpu.ops.sampling import (
-    _group_rank,
+    _group_rank_topk,
     sample_pos_neg,
 )
 
@@ -133,12 +133,12 @@ def rpn_targets(
     k_pos, k_neg = jax.random.split(rng)
     pos_mask = labels == 1
     n_pos = pos_mask.sum()
-    pos_rank = _group_rank(jax.random.uniform(k_pos, (a,)), pos_mask)
+    pos_rank = _group_rank_topk(jax.random.uniform(k_pos, (a,)), pos_mask, pos_quota)
     labels = jnp.where(pos_mask & (pos_rank >= pos_quota), -1, labels)
 
     n_pos_kept = jnp.minimum(n_pos, pos_quota)
     neg_mask = labels == 0
-    neg_rank = _group_rank(jax.random.uniform(k_neg, (a,)), neg_mask)
+    neg_rank = _group_rank_topk(jax.random.uniform(k_neg, (a,)), neg_mask, total_quota)
     labels = jnp.where(
         neg_mask & (neg_rank >= total_quota - n_pos_kept), -1, labels
     )

@@ -40,6 +40,26 @@ def _group_rank(noise: Array, mask: Array) -> Array:
     return jnp.where(mask, rank, jnp.int32(noise.shape[0])).astype(jnp.int32)
 
 
+def _group_rank_topk(noise: Array, mask: Array, k: int) -> Array:
+    """:func:`_group_rank` exact for ranks ``< k``; every other element
+    reports rank ``n`` (i.e. "beyond any quota").
+
+    Quota demotion only ever tests ``rank < quota`` with ``quota <= k``,
+    so this is a drop-in — and on a 160k-anchor FPN assignment it
+    replaces a full argsort + n-element scatter (scatters are the
+    slowest primitive on TPU, DESIGN.md §2) with a ``top_k`` and a
+    k-element scatter. Tie-breaking matches ``argsort(-key)``'s
+    lowest-index-first, so results are identical for distinct noise.
+    """
+    n = noise.shape[0]
+    if k >= n:
+        return _group_rank(noise, mask)
+    key = jnp.where(mask, noise, -jnp.inf)
+    _, idx = jax.lax.top_k(key, k)  # descending; ties -> lowest index
+    rank = jnp.full((n,), n, jnp.int32).at[idx].set(jnp.arange(k, dtype=jnp.int32))
+    return jnp.where(mask, rank, jnp.int32(n)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "pos_quota"))
 def sample_pos_neg(
     rng: Array,

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from faster_rcnn_pytorch_tpu.ops.sampling import (
+    _group_rank,
+    _group_rank_topk,
     sample_pos_neg,
     subsample_group_to_ignore,
 )
@@ -70,6 +72,32 @@ def test_sampling_is_uniform_over_group():
     # Each of 48 positives picked w.p. 32/48 per draw -> mean ~266.
     assert abs(sel.mean() - 400 * 32 / 48) < 15
     assert sel.min() > 150  # every positive gets sampled sometimes
+
+
+def test_group_rank_topk_matches_group_rank_below_k():
+    # _group_rank_topk is the quota-demotion fast path: exact for
+    # ranks < k, everything else reported as rank n ("beyond quota").
+    rs = np.random.RandomState(7)
+    for trial, (n, k, p_mask) in enumerate(
+        [(500, 64, 0.5), (500, 64, 0.05), (2000, 256, 0.9), (64, 64, 0.5)]
+    ):
+        noise = jnp.asarray(rs.uniform(size=n).astype(np.float32))
+        mask = jnp.asarray(rs.uniform(size=n) < p_mask)
+        full = np.asarray(_group_rank(noise, mask))
+        fast = np.asarray(_group_rank_topk(noise, mask, k))
+        below = full < k
+        np.testing.assert_array_equal(fast[below], full[below])
+        assert (fast[~below] == n).all()
+
+
+def test_group_rank_topk_small_group():
+    # group smaller than k: every member still gets its exact rank.
+    noise = jnp.asarray(np.random.RandomState(8).uniform(size=300).astype(np.float32))
+    mask = jnp.zeros(300, bool).at[jnp.array([5, 17, 250])].set(True)
+    fast = np.asarray(_group_rank_topk(noise, mask, 128))
+    full = np.asarray(_group_rank(noise, mask))
+    np.testing.assert_array_equal(fast[np.asarray(mask)], full[np.asarray(mask)])
+    assert (fast[~np.asarray(mask)] == 300).all()
 
 
 def test_subsample_group_to_ignore():

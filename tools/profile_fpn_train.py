@@ -52,34 +52,49 @@ def main():
         np.concatenate([xy1, np.minimum(xy1 + wh, CANVAS)], -1).astype(np.float32)
     )
 
-    def align_fwd(i, f, r):
-        out = multiscale_roi_align_batch(
-            tuple(x + i * 1e-6 for x in f), r
-        )
-        return out.astype(jnp.float32).sum()
+    # Non-collapsible cotangent: with a CONSTANT cotangent and a scalar
+    # reduce, XLA algebraically folds the one-hot VJP matmuls away
+    # (sum(Wy^T @ 1 @ Wx) == (sum Wy)(sum Wx)) and reports ~0 ms.
+    cot = jnp.asarray(
+        rs.normal(size=(BATCH, N_ROIS, 7, 7, 256)).astype(np.float32)
+    )
 
+    def align_fwd(i, f, r):
+        out = multiscale_roi_align_batch(tuple(x + i * 1e-6 for x in f), r)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    # NB: the align is LINEAR in features, so grad-wrt-features depends
+    # only on (rois, cotangent) — perturb ROIS per chain step or XLA
+    # hoists the whole backward out of the timing scan as loop-invariant.
     def align_fwdbwd(i, f, r):
+        rp = r + i.astype(jnp.float32) * 0.013
         g = jax.grad(
-            lambda ff: multiscale_roi_align_batch(ff, r).astype(jnp.float32).sum()
-        )(tuple(x + i * 1e-6 for x in f))
-        return sum(x.sum() for x in g)
+            lambda ff: (
+                multiscale_roi_align_batch(ff, rp).astype(jnp.float32) * cot
+            ).sum()
+        )(f)
+        return sum((x * x).sum() for x in g)
 
     def align_dense_fwdbwd(i, f, r):
+        rp = r + i.astype(jnp.float32) * 0.013
         g = jax.grad(
-            lambda ff: jax.vmap(
-                lambda f2, rr: multiscale_roi_align_dense(f2, rr)
-            )(ff, r).astype(jnp.float32).sum()
-        )(tuple(x + i * 1e-6 for x in f))
-        return sum(x.sum() for x in g)
+            lambda ff: (
+                jax.vmap(lambda f2, rr: multiscale_roi_align_dense(f2, rr))(
+                    ff, rp
+                ).astype(jnp.float32)
+                * cot
+            ).sum()
+        )(f)
+        return sum((x * x).sum() for x in g)
 
     def backbone_fwdbwd(i, p, im):
         g = jax.grad(
             lambda pp: sum(
-                x.astype(jnp.float32).sum()
+                (x.astype(jnp.float32) ** 2).sum()
                 for x in model.apply(pp, im + i * 1e-4, method="features")
             )
         )(p)
-        return sum(x.sum() for x in jax.tree.leaves(g))
+        return sum((x * x).sum() for x in jax.tree.leaves(g))
 
     t, *_ = chain_time(align_fwd, args=(feats4, rois))
     print(f"align fwd (bin-window)      : {t * 1e3:8.2f} ms/b{BATCH}x{N_ROIS}")
@@ -89,6 +104,38 @@ def main():
     print(f"align fwd+bwd (all dense)   : {t * 1e3:8.2f} ms")
     t, *_ = chain_time(backbone_fwdbwd, k_lo=2, k_hi=5, args=(params, images))
     print(f"backbone fwd+bwd            : {t * 1e3:8.2f} ms")
+
+    # rpn target assignment over the full FPN anchor set
+    anchors = jnp.asarray(model.canvas_anchors(CANVAS, CANVAS))
+    from faster_rcnn_pytorch_tpu.models.targets import rpn_targets
+
+    gt = jnp.asarray(
+        np.concatenate(
+            [
+                rs.uniform(0, 0.5, size=(BATCH, 24, 2)),
+                rs.uniform(0.5, 1.0, size=(BATCH, 24, 2)),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+    gt_mask = jnp.ones((BATCH, 24), bool)
+
+    def rpn_tgt(i, a, g, m):
+        out = jax.vmap(
+            lambda gi, mi: rpn_targets(
+                a,
+                gi + i * 1e-6,
+                mi,
+                jnp.ones((2,), jnp.float32),
+                jax.random.key(0),
+                allow_ties=True,
+                boundary_filter=False,
+            )
+        )(g, m)
+        return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(out))
+
+    t, *_ = chain_time(rpn_tgt, args=(anchors, gt, gt_mask))
+    print(f"rpn targets ({anchors.shape[0]} anchors): {t * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
