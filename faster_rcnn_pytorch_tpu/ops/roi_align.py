@@ -144,6 +144,28 @@ def roi_align(
     return pooled.mean(axis=(2, 4)).astype(features.dtype)
 
 
+def _folded_bin_weights(
+    start: Array,
+    extent: Array,
+    size: int,
+    output_size: int,
+    sampling_ratio: int,
+) -> Array:
+    """Per-BIN interpolation rows: ``[n, output_size, size]``.
+
+    The ``sampling_ratio^2`` bilinear samples of one bin are separable
+    over axes, so their mean factors: ``mean_{u,v} Wy_u (x) Wx_v =
+    (mean_u Wy_u) (x) (mean_v Wx_v)``. Folding the sub-sample mean into
+    the weight rows shrinks the dense matmul formulation from ``S =
+    output_size * sampling_ratio`` rows per axis to ``output_size`` —
+    halving both matmul stages (at ratio 2) with identical results.
+    """
+    coords = _sample_coords(start, extent, output_size, sampling_ratio)
+    w = _interp_weights(coords, size)  # [n, S, size]
+    n = w.shape[0]
+    return w.reshape(n, output_size, sampling_ratio, size).mean(axis=2)
+
+
 def fpn_level_assignment(
     rois: Array,
     canonical_scale: int = 224,
@@ -197,6 +219,64 @@ def multiscale_roi_align_dense(
         sel = (lvl == i).astype(pooled.dtype)[:, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "roi_chunk"),
+)
+def _dense_folded(
+    features: tuple[Array, ...],
+    rois: Array,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 32,
+) -> Array:
+    """All-levels matmul formulation with the sub-sample mean folded into
+    per-bin weight rows (:func:`_folded_bin_weights`) and the level
+    select folded into the y-weights — same function as
+    :func:`multiscale_roi_align_dense`, half the matmul FLOPs per stage.
+    Exists for its VJP: the custom backward of the gather paths
+    differentiates THIS formulation, so the features-gradient is pure
+    (halved) matmuls."""
+    lvl = fpn_level_assignment(rois, k_min=2, k_max=2 + len(strides) - 1)
+    n = rois.shape[0]
+    p = output_size
+    out = None
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        h, w, _ = feat.shape
+        scale = 1.0 / stride
+        x1 = rois[:, 0] * scale
+        y1 = rois[:, 1] * scale
+        roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+        roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+        wy = _folded_bin_weights(y1, roi_h, h, p, sampling_ratio)
+        wx = _folded_bin_weights(x1, roi_w, w, p, sampling_ratio)
+        wy = wy * (lvl == i).astype(wy.dtype)[:, None, None]
+
+        f32 = feat.astype(jnp.float32)
+        pad_n = -(-n // roi_chunk) * roi_chunk
+        wy = jnp.pad(wy, ((0, pad_n - n), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad_n - n), (0, 0), (0, 0)))
+        wy = wy.reshape(pad_n // roi_chunk, roi_chunk, p, h)
+        wx = wx.reshape(pad_n // roi_chunk, roi_chunk, p, w)
+
+        def chunk_fn(args, f32=f32, h=h, w=w):
+            wy_c, wx_c = args
+            t1 = jax.lax.dot_general(
+                wy_c.reshape(-1, h),
+                f32.reshape(h, -1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(wy_c.shape[0], p, w, -1)
+            return jnp.einsum(
+                "nqw,npwc->npqc", wx_c, t1, preferred_element_type=jnp.float32
+            )
+
+        pooled = jax.lax.map(chunk_fn, (wy, wx)).reshape(pad_n, p, p, -1)[:n]
+        out = pooled if out is None else out + pooled
+    return out.astype(features[0].dtype)
 
 
 def _corner_starts_weights(coords: Array, size: Array):
@@ -522,7 +602,7 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
     features, rois = res
     _, vjp = jax.vjp(
         lambda f: jax.vmap(
-            lambda f2, r: multiscale_roi_align_dense(
+            lambda f2, r: _dense_folded(
                 f2, r, strides, output_size, sampling_ratio
             )
         )(f, rois),
@@ -612,7 +692,7 @@ def _msra_bwd(strides, output_size, sampling_ratio, roi_chunk, res, g):
     reference models/model.py:55; gt-derived rois are input data)."""
     features, rois = res
     _, vjp = jax.vjp(
-        lambda f: multiscale_roi_align_dense(
+        lambda f: _dense_folded(
             f, rois, strides, output_size, sampling_ratio, roi_chunk
         ),
         features,

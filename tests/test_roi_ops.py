@@ -310,3 +310,27 @@ def test_multiscale_grad_matches_dense_grad():
     want = jax.grad(loss_dense)(feats)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
+
+
+def test_dense_folded_matches_dense_fuzz():
+    """The folded-bin-weights dense formulation (used by the custom VJPs:
+    sub-sample mean + level select folded into the weight rows, halving
+    both matmul stages) must equal the sample-resolution dense path."""
+    from faster_rcnn_pytorch_tpu.ops.roi_align import (
+        _dense_folded,
+        multiscale_roi_align_dense,
+    )
+
+    rs = np.random.RandomState(7)
+    for trial in range(4):
+        feats = tuple(
+            jnp.asarray(rs.normal(size=(s, s + 4, 5)).astype(np.float32))
+            for s in (32, 16, 8, 4)
+        )
+        n = 24
+        xy1 = rs.uniform(-10, 110, size=(n, 2))
+        wh = np.exp(rs.uniform(np.log(2), np.log(160), size=(n, 2)))
+        rois = jnp.asarray(np.concatenate([xy1, xy1 + wh], 1).astype(np.float32))
+        got = np.asarray(_dense_folded(feats, rois))
+        want = np.asarray(multiscale_roi_align_dense(feats, rois))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

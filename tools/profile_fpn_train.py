@@ -137,6 +137,121 @@ def main():
     t, *_ = chain_time(rpn_tgt, args=(anchors, gt, gt_mask))
     print(f"rpn targets ({anchors.shape[0]} anchors): {t * 1e3:8.2f} ms")
 
+    # propose, train regime (pre_k=4000 -> NMS -> 1000) over the full set
+    from faster_rcnn_pytorch_tpu.models.rpn import propose
+
+    rpn_cls = jnp.asarray(
+        rs.normal(size=(BATCH, anchors.shape[0], 2)).astype(np.float32)
+    )
+    rpn_reg = jnp.asarray(
+        rs.normal(size=(BATCH, anchors.shape[0], 4)).astype(np.float32) * 0.1
+    )
+    extents = jnp.ones((BATCH, 2), jnp.float32)
+
+    def propose_train(i, c, r):
+        p = jax.vmap(
+            lambda ci, ri, ei: propose(
+                ci + i * 1e-6,
+                ri,
+                anchors,
+                ei,
+                pre_k=cfg.pre_nms_train,
+                post_k=cfg.post_nms_train,
+                nms_iou=cfg.rpn_nms_iou,
+                min_size=cfg.proposal_min_size,
+                nms_tile=cfg.rpn_nms_tile,
+            )
+        )(c, r, extents)
+        return p.rois.sum() + p.valid.sum()
+
+    t, *_ = chain_time(propose_train, args=(rpn_cls, rpn_reg))
+    print(f"propose train (pre{cfg.pre_nms_train}->post{cfg.post_nms_train}): {t * 1e3:8.2f} ms")
+
+    # frcnn target assignment (1000 proposals + gt, IoU + quota sampling)
+    from faster_rcnn_pytorch_tpu.models.targets import frcnn_targets
+
+    prois = jnp.asarray(
+        rs.uniform(0, 1, size=(BATCH, cfg.post_nms_train, 4)).astype(np.float32)
+    )
+    prois = jnp.concatenate(
+        [jnp.minimum(prois[..., :2], prois[..., 2:]),
+         jnp.maximum(prois[..., :2], prois[..., 2:])], -1
+    )
+    pvalid = jnp.ones((BATCH, cfg.post_nms_train), bool)
+    glab = jnp.ones((BATCH, 24), jnp.int32)
+
+    def roi_tgt(i, pr, pv, g, gl, m):
+        out = jax.vmap(
+            lambda a, b, c2, d, e: frcnn_targets(
+                a, b, c2 + i * 1e-6, d, e, jax.random.key(0),
+                num_samples=cfg.roi_samples,
+                pos_quota=cfg.roi_pos_quota,
+                pos_iou=cfg.roi_pos_iou,
+                label_offset=cfg.label_offset,
+            )
+        )(pr, pv, g, gl, m)
+        return sum(
+            x.astype(jnp.float32).sum() for x in jax.tree.leaves(out)
+        )
+
+    t, *_ = chain_time(roi_tgt, args=(prois, pvalid, gt, glab, gt_mask))
+    print(f"frcnn targets ({cfg.post_nms_train} rois): {t * 1e3:8.2f} ms")
+
+    # rpn head fwd+bwd (5-level 3x3 conv + cls/reg)
+    def rpn_head_fwdbwd(i, p, im):
+        def f(pp):
+            fs = model.apply(pp, im + i * 1e-4, method="features")
+            c, r = model.apply(pp, fs, method="rpn_out")
+            return (c.astype(jnp.float32) ** 2).sum() + (
+                r.astype(jnp.float32) ** 2
+            ).sum()
+
+        g = jax.grad(f)(p)
+        return sum((x * x).sum() for x in jax.tree.leaves(g))
+
+    t, *_ = chain_time(rpn_head_fwdbwd, k_lo=2, k_hi=5, args=(params, images))
+    print(f"backbone+rpn_out fwd+bwd    : {t * 1e3:8.2f} ms")
+
+    # head FCs fwd+bwd on pre-pooled features (align excluded)
+    from flax.core import freeze
+
+    def head_fc_fwdbwd(i, p, pooled):
+        def f(pp):
+            x = (pooled + i * 1e-6).reshape(BATCH * N_ROIS, -1)
+            out = model.apply(pp, x, method="head_fc") if hasattr(
+                model, "head_fc"
+            ) else None
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        g = jax.grad(f)(p)
+        return sum((x * x).sum() for x in jax.tree.leaves(g))
+
+    # full train step (grad of total loss, no optimizer)
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import forward_train
+
+    gt_lab = jnp.ones((BATCH, 24), jnp.int32)
+
+    def full_step(i, p, im):
+        def loss_fn(pp):
+            out = model.apply(
+                pp,
+                cfg,
+                im + i * 1e-4,
+                extents,
+                gt,
+                gt_lab,
+                gt_mask,
+                jax.random.key(0),
+                method=forward_train,
+            )
+            return out.losses.total.sum()
+
+        g = jax.grad(loss_fn)(p)
+        return sum((x * x).sum() for x in jax.tree.leaves(g))
+
+    t, *_ = chain_time(full_step, k_lo=2, k_hi=5, args=(params, images))
+    print(f"FULL train fwd+bwd          : {t * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
