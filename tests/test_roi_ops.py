@@ -2,6 +2,7 @@
 torchvision C++ semantics (the ops the reference delegates to,
 models/model.py:97, models/new_model.py:127)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -334,3 +335,73 @@ def test_dense_folded_matches_dense_fuzz():
         got = np.asarray(_dense_folded(feats, rois))
         want = np.asarray(multiscale_roi_align_dense(feats, rois))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_window_kernel_matches_dense_fuzz():
+    """v2 per-roi window-DMA kernel (interpret mode), composed with its
+    compacted corner fallback, vs the dense oracle — including extreme
+    aspect ratios that overflow the window and clamped-level giants."""
+    from faster_rcnn_pytorch_tpu.ops.roi_align import (
+        _batch_window_kernel,
+        multiscale_roi_align_dense,
+    )
+
+    rs = np.random.RandomState(31)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(2, s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    rois_imgs = []
+    for _ in range(2):
+        xy1 = rs.uniform(-10, 250, size=(40, 2))
+        wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(40, 2)))
+        r = np.concatenate([xy1, xy1 + wh], axis=1)
+        extremes = np.array(
+            [
+                [0, 0, 288, 10],       # full-width banner: overflows win_x
+                [0, 0, 10, 256],       # full-height pole: overflows win_y
+                [5, 5, 5.2, 5.2],      # degenerate
+                [200, 200, 1000, 1000],  # clamped-level giant
+                [0, 0, 288, 256],      # whole canvas
+            ]
+        )
+        rois_imgs.append(np.concatenate([r, extremes]))
+    rois = jnp.asarray(np.stack(rois_imgs).astype(np.float32))
+    got = np.asarray(
+        _batch_window_kernel(feats, rois, (4, 8, 16, 32), 7, 2, interpret=True)
+    )
+    want = np.asarray(
+        jax.vmap(lambda f, r: multiscale_roi_align_dense(f, r))(feats, rois)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_roi_window_geometry_fits():
+    """fits must be False exactly for rois whose footprint exceeds the
+    window at their assigned level, True for compact rois."""
+    from faster_rcnn_pytorch_tpu.ops.pallas.roi_window_kernel import (
+        roi_window_geometry,
+        window_dims,
+        _round8,
+    )
+
+    level_dims = ((64, 72), (32, 40), (16, 24), (8, 16))
+    win_y, win_x = window_dims(level_dims)
+    w_pad = max(_round8(72) + 8, win_x)
+    rois = jnp.asarray(
+        np.array(
+            [
+                [10, 10, 60, 60],    # compact
+                [0, 0, 288, 10],     # extreme banner at P2
+                [0, 0, 10, 256],     # extreme pole
+                [30, 40, 80, 90],    # compact
+            ],
+            dtype=np.float32,
+        )
+    )
+    *_, fits = roi_window_geometry(
+        rois, level_dims, (4, 8, 16, 32), 7, 2, win_y, win_x, w_pad
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fits), [True, False, False, True]
+    )
