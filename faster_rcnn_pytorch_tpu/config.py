@@ -64,6 +64,7 @@ class Options:
     # parallelism (replaces gpu_ids/rank/world_size/distributed,
     # config.py:44-48: one data axis over the ICI mesh)
     num_devices: int = 0  # 0 = all local devices
+    model_parallel: int = 1  # tensor-parallel axis size (roi-head FCs)
     host_id: int = 0
     num_hosts: int = 1
     coordinator: str = ""  # multi-host jax.distributed coordinator addr

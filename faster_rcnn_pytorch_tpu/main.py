@@ -28,7 +28,8 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
 from faster_rcnn_pytorch_tpu.parallel.mesh import (
     initialize_multihost,
     make_mesh,
-    replicate,
+    shard_tree,
+    tree_shardings,
 )
 from faster_rcnn_pytorch_tpu.parallel.train_step import (
     init_train_state,
@@ -94,13 +95,26 @@ def main(argv=None) -> int:
     opts.host_id = jax.process_index()
     opts.num_hosts = jax.process_count()
 
-    # Mesh size must divide the per-host batch (batch sharded over the
-    # `data` axis); pick the largest compatible device count.
+    # The data-axis size must divide the per-host batch (batch sharded
+    # over `data` only); pick the largest compatible device count that is
+    # also a multiple of the tensor-parallel axis.
     avail = opts.num_devices or len(jax.devices())
+    mp = max(opts.model_parallel, 1)
     per_host_batch = max(opts.batch_size // opts.num_hosts, 1)
-    n_dev = max(k for k in range(1, avail + 1) if per_host_batch % k == 0)
-    mesh = make_mesh(n_dev)
-    print0(f"devices: {mesh.devices.size}/{avail}, hosts: {opts.num_hosts}")
+    n_dev = max(
+        (
+            k
+            for k in range(1, avail + 1)
+            if k % mp == 0 and per_host_batch % (k // mp) == 0
+        ),
+        default=mp,
+    )
+    mesh = make_mesh(n_dev, model_parallel=mp)
+    print0(
+        f"devices: {mesh.devices.size}/{avail} "
+        f"(data {mesh.devices.shape[0]} x model {mp}), "
+        f"hosts: {opts.num_hosts}"
+    )
 
     train_loader, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
@@ -143,8 +157,11 @@ def main(argv=None) -> int:
         state, _ = load_checkpoint(opts.checkpoint, state)
         print0(f"loaded checkpoint {opts.checkpoint}")
 
-    state = replicate(state, mesh)
-    step_fn = make_train_step(model, cfg, optimizer, mesh)
+    state = shard_tree(state, mesh)
+    step_fn = make_train_step(
+        model, cfg, optimizer, mesh,
+        state_shardings=tree_shardings(state, mesh),
+    )
     writer = ScalarWriter(opts.log_dir, opts.name, opts.log_backend)
     label_map = label_map_for(opts, coco_index)
 

@@ -1,8 +1,10 @@
-"""SPMD data parallelism over a device mesh."""
+"""SPMD parallelism over a ``(data, model)`` device mesh."""
 
 from faster_rcnn_pytorch_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
+    shard_tree,
+    tree_shardings,
     replicate,
 )
 from faster_rcnn_pytorch_tpu.parallel.train_step import (  # noqa: F401

@@ -123,15 +123,23 @@ def make_optimizer(
     )
 
 
-def make_train_step(model, cfg, optimizer, mesh, donate: bool = True):
+def make_train_step(
+    model, cfg, optimizer, mesh, donate: bool = True, state_shardings=None
+):
     """Build the jitted SPMD train step.
 
     Returns ``step_fn(state, batch, rng) -> (state, metrics)`` where
-    ``batch`` is sharded on the ``data`` axis and ``state`` is replicated.
-    The loss is averaged over the global batch, so XLA emits the psum that
-    replaces DDP's gradient all-reduce.
+    ``batch`` is sharded on the ``data`` axis and ``state`` follows
+    ``state_shardings`` (default: fully replicated — the reference's
+    DDP layout; pass ``parallel.mesh.tree_shardings(state, mesh)`` on a
+    ``(data, model)`` mesh for the tensor-parallel head). The loss is averaged
+    over the global batch, so XLA emits the psum that replaces DDP's
+    gradient all-reduce; with a model axis it additionally inserts the
+    Megatron all-reduce after fc7 from the weight shardings alone.
     """
     repl = NamedSharding(mesh, P())
+    if state_shardings is None:
+        state_shardings = repl  # pytree-prefix: whole state replicated
     data = NamedSharding(mesh, P(DATA_AXIS))
     batch_shardings = {
         "image": data,
@@ -178,8 +186,8 @@ def make_train_step(model, cfg, optimizer, mesh, donate: bool = True):
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shardings, batch_shardings, repl),
+        out_shardings=(state_shardings, repl),
         donate_argnums=(0,) if donate else (),
     )
 
