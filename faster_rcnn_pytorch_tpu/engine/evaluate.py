@@ -78,7 +78,12 @@ def evaluate(
     if max_detections is not None and max_detections != cfg.max_detections:
         cfg = dataclasses.replace(cfg, max_detections=max_detections)
     predict_fn = _jitted_predict(model, cfg, score_threshold)
+    # Vectorise the fg-label -> dataset-category mapping once (model
+    # labels are 0..C-2); the per-detection Python loop was O(dets).
     label_map = label_map or (lambda x: x)
+    label_table = np.asarray(
+        [label_map(i) for i in range(cfg.num_classes - 1)], np.int64
+    )
 
     predictions: dict[int, dict] = {}
     gts: dict[int, dict] = {}
@@ -92,7 +97,7 @@ def evaluate(
             img_id = int(batch["image_id"][i])
             predictions[img_id] = {
                 "boxes": boxes,
-                "labels": np.array([label_map(int(l)) for l in labels]),
+                "labels": label_table[np.asarray(labels, np.int64)],
                 "scores": scores,
             }
             if data_type == "voc":

@@ -135,18 +135,20 @@ def roi_window_geometry(
 
 
 def _kernel(
-    win_y, win_x, p, scal_ref, wy_ref, wx_ref, feat_ref, out_ref,
+    win_y, win_x, p, yg_ref, xa_ref, wy_ref, wx_ref, feat_ref, out_ref,
     buf0, buf1, sem0, sem1,
 ):
-    """Grid = (n,). scal per roi: (global_row_start, xstart·8-aligned).
-    Double-buffered: the window DMA for roi i+1 is in flight while roi
-    i computes."""
+    """Grid = (n,). Per-roi scalars: global_row_start and x start
+    (8-aligned) — two 1-D prefetch operands (a single [n, 2] operand
+    would be lane-padded to [n, 128] in SMEM, 64x the footprint, and
+    overflows SMEM at the b8 train shape). Double-buffered: the window
+    DMA for roi i+1 is in flight while roi i computes."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     def copy(idx, buf, sem):
-        yg = scal_ref[idx, 0]
-        xa = pl.multiple_of(scal_ref[idx, 1], 8)
+        yg = yg_ref[idx]
+        xa = pl.multiple_of(xa_ref[idx], 8)
         return pltpu.make_async_copy(
             feat_ref.at[pl.ds(yg, win_y), pl.ds(xa, win_x), slice(None)],
             buf,
@@ -250,31 +252,28 @@ def roi_window_align(
     ybg, xb, wy, wx, fits = jax.vmap(geom)(rois)
     ybg = ybg + sum_h * jnp.arange(b, dtype=jnp.int32)[:, None]
 
-    scal = jnp.stack([ybg.reshape(-1), xb.reshape(-1)], axis=1).astype(
-        jnp.int32
-    )
     kernel = functools.partial(_kernel, win_y, win_x, p)
     pooled = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * n, p, p, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b * n,),
             in_specs=[
                 pl.BlockSpec(
                     (1, p, win_y),
-                    lambda i, sc: (i, 0, 0),
+                    lambda i, *sc: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, p, win_x),
-                    lambda i, sc: (i, 0, 0),
+                    lambda i, *sc: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, p, p, c), lambda i, sc: (i, 0, 0, 0),
+                (1, p, p, c), lambda i, *sc: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -286,7 +285,8 @@ def roi_window_align(
         ),
         interpret=interpret,
     )(
-        scal,
+        ybg.reshape(-1).astype(jnp.int32),
+        xb.reshape(-1).astype(jnp.int32),
         wy.reshape(b * n, p, win_y),
         wx.reshape(b * n, p, win_x),
         buf,

@@ -128,9 +128,16 @@ class ScalarWriter:
             self._tb.add_scalar(tag, float(value), int(step))
         row = self._csv_rows.setdefault(str(step), {"step": step})
         row[tag] = float(value)
-        self._flush_csv()
+        # The CSV is rewritten whole (column set can grow mid-run), so
+        # throttle flushes: every 2s of scalars, plus close(). Keeps the
+        # flush O(rows) per interval instead of per scalar (a 26-epoch
+        # COCO run logs ~1e5 scalars).
+        now = time.time()
+        if now - getattr(self, "_last_flush", 0.0) >= 2.0:
+            self._flush_csv()
 
     def _flush_csv(self) -> None:
+        self._last_flush = time.time()
         rows = sorted(self._csv_rows.values(), key=lambda r: r["step"])
         cols: list[str] = ["step"]
         for r in rows:
@@ -143,6 +150,8 @@ class ScalarWriter:
             w.writerows(rows)
 
     def close(self) -> None:
+        if is_main() and self._csv_rows:
+            self._flush_csv()
         if self._tb is not None:
             self._tb.close()
 
