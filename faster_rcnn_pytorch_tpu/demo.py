@@ -13,7 +13,10 @@ import jax.numpy as jnp
 from faster_rcnn_pytorch_tpu.config import load_options
 from faster_rcnn_pytorch_tpu.engine.demo import demo
 from faster_rcnn_pytorch_tpu.main import init_params
-from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    build_model,
+    label_offset_for,
+)
 from faster_rcnn_pytorch_tpu.utils.checkpoint import (
     checkpoint_path,
     load_checkpoint,
@@ -34,7 +37,10 @@ def main(argv=None) -> int:
     else:
         opts.num_classes = 91
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
-    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+    model, cfg = build_model(
+        opts.model_generation, opts.num_classes, dtype,
+        label_offset=label_offset_for(opts.model_generation, opts.data_type),
+    )
     params = init_params(model, opts)
     if not opts.checkpoint:
         path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)

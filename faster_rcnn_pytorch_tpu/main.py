@@ -24,7 +24,10 @@ from faster_rcnn_pytorch_tpu.config import Options, load_options
 from faster_rcnn_pytorch_tpu.data.loader import build_dataloader
 from faster_rcnn_pytorch_tpu.engine.evaluate import evaluate
 from faster_rcnn_pytorch_tpu.engine.train import train_one_epoch
-from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    build_model,
+    label_offset_for,
+)
 from faster_rcnn_pytorch_tpu.parallel.mesh import (
     initialize_multihost,
     make_mesh,
@@ -118,7 +121,10 @@ def main(argv=None) -> int:
 
     train_loader, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
-    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+    model, cfg = build_model(
+        opts.model_generation, opts.num_classes, dtype,
+        label_offset=label_offset_for(opts.model_generation, opts.data_type),
+    )
 
     coco_index = None
     if opts.data_type == "coco":

@@ -430,21 +430,42 @@ def init_detector_params(
     return init_fn(rng, images, rois)
 
 
-def build_model(generation: str, num_classes: int | None = None, dtype=jnp.bfloat16):
+def label_offset_for(generation: str, data_type: str) -> int:
+    """Dataset-label -> head-class-index offset.
+
+    The FPN generation consumes raw COCO category ids (1..90, bg 0 —
+    reference new_model.py trains on target['labels'] as-is), so COCO +
+    fpn needs no offset; every 0-based labelling (VOC 0..19, COCO
+    contiguous remap for the legacy generation) shifts by +1 to clear
+    the background slot (reference model.py adds the +1 in its target
+    maker). Mixing fpn with VOC previously reused the COCO-raw offset 0
+    and silently mislabelled every detection by one class."""
+    return 0 if (generation == "fpn" and data_type == "coco") else 1
+
+
+def build_model(
+    generation: str,
+    num_classes: int | None = None,
+    dtype=jnp.bfloat16,
+    label_offset: int | None = None,
+):
     """Model + config factory (counterpart of models/build.py:7-19 minus
-    the DDP wrap — parallelism is a sharding concern, see ``parallel``)."""
+    the DDP wrap — parallelism is a sharding concern, see ``parallel``).
+    ``label_offset`` overrides the config default — pass
+    :func:`label_offset_for` when the dataset's label convention differs
+    from the generation's home dataset."""
     if generation == "legacy":
-        cfg = (
-            LEGACY_CONFIG
-            if num_classes is None
-            else dataclasses.replace(LEGACY_CONFIG, num_classes=num_classes)
-        )
-        return LegacyFRCNN(num_classes=cfg.num_classes, dtype=dtype), cfg
-    if generation == "fpn":
-        cfg = (
-            FPN_CONFIG
-            if num_classes is None
-            else dataclasses.replace(FPN_CONFIG, num_classes=num_classes)
-        )
-        return FPNFRCNN(num_classes=cfg.num_classes, dtype=dtype), cfg
-    raise ValueError(f"unknown generation: {generation!r}")
+        base = LEGACY_CONFIG
+        model_cls = LegacyFRCNN
+    elif generation == "fpn":
+        base = FPN_CONFIG
+        model_cls = FPNFRCNN
+    else:
+        raise ValueError(f"unknown generation: {generation!r}")
+    overrides = {}
+    if num_classes is not None:
+        overrides["num_classes"] = num_classes
+    if label_offset is not None:
+        overrides["label_offset"] = label_offset
+    cfg = dataclasses.replace(base, **overrides) if overrides else base
+    return model_cls(num_classes=cfg.num_classes, dtype=dtype), cfg

@@ -16,7 +16,10 @@ from faster_rcnn_pytorch_tpu.config import load_options
 from faster_rcnn_pytorch_tpu.data.loader import build_dataloader
 from faster_rcnn_pytorch_tpu.engine.evaluate import evaluate
 from faster_rcnn_pytorch_tpu.main import init_params, label_map_for
-from faster_rcnn_pytorch_tpu.models.faster_rcnn import build_model
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    build_model,
+    label_offset_for,
+)
 from faster_rcnn_pytorch_tpu.utils.checkpoint import (
     checkpoint_path,
     load_checkpoint,
@@ -31,7 +34,10 @@ def main(argv=None) -> int:
     opts = load_options(argv)
     _, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
-    model, cfg = build_model(opts.model_generation, opts.num_classes, dtype)
+    model, cfg = build_model(
+        opts.model_generation, opts.num_classes, dtype,
+        label_offset=label_offset_for(opts.model_generation, opts.data_type),
+    )
 
     params = init_params(model, opts)
     if not opts.checkpoint:

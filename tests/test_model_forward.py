@@ -165,3 +165,22 @@ def test_predict_score_threshold_is_respected(legacy):
     assert n_hi < n_lo
     assert n_lo > 0
 
+
+
+def test_label_offset_for():
+    """FPN consumes raw COCO ids (offset 0) ONLY with coco data; every
+    0-based labelling (VOC, coco-contiguous legacy) shifts by +1 — the
+    regression here mislabelled every FPN+VOC detection by one class."""
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        build_model,
+        label_offset_for,
+    )
+
+    assert label_offset_for("fpn", "coco") == 0
+    assert label_offset_for("fpn", "voc") == 1
+    assert label_offset_for("legacy", "coco") == 1
+    assert label_offset_for("legacy", "voc") == 1
+    _, cfg = build_model("fpn", 21, label_offset=label_offset_for("fpn", "voc"))
+    assert cfg.label_offset == 1
+    _, cfg = build_model("fpn", 91)
+    assert cfg.label_offset == 0
