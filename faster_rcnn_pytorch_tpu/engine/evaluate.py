@@ -22,21 +22,39 @@ from faster_rcnn_pytorch_tpu.utils.logging import print0
 def _jitted_predict(model, cfg, score_threshold=None):
     # score_threshold is closed over as a static Python float (it gates a
     # comparison inside the statically-shaped multiclass NMS).
+    # Output is PACKED into one [B, D, 7] f32 array (xyxy, label, score,
+    # valid): the tunnelled runtime pays a full round trip per host
+    # fetch, and fetching four arrays per image serialized ~5 round
+    # trips/image (~220 ms/img eval floor); one packed fetch per batch
+    # is one.
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, images, extents):
-        return model.apply(
+        import jax.numpy as jnp
+
+        det = model.apply(
             params, cfg, images, extents, score_threshold, method=predict
+        )
+        return jnp.concatenate(
+            [
+                det.boxes,
+                det.labels[..., None].astype(jnp.float32),
+                det.scores[..., None],
+                det.valid[..., None].astype(jnp.float32),
+            ],
+            axis=-1,
         )
 
     return fn
 
 
-def detections_to_original_coords(det, batch, i):
-    """Canvas-normalised detections -> original-image pixel xyxy."""
-    valid = np.asarray(det.valid[i])
-    boxes = np.asarray(det.boxes[i])[valid]
-    labels = np.asarray(det.labels[i])[valid]
-    scores = np.asarray(det.scores[i])[valid]
+def detections_to_original_coords(packed, batch, i):
+    """Canvas-normalised packed detections (host [B, D, 7] ndarray) ->
+    original-image pixel xyxy for image ``i``."""
+    d = packed[i]
+    valid = d[:, 6] > 0.5
+    boxes = d[valid, :4]
+    labels = d[valid, 4].astype(np.int64)
+    scores = d[valid, 5]
     canvas_h, canvas_w = batch["image"].shape[1:3]
     rh, rw = batch["resized_hw"][i]
     oh, ow = batch["orig_hw"][i]
@@ -90,14 +108,16 @@ def evaluate(
     t0 = time.time()
     n_img = 0
 
-    def consume(det, batch):
+    def consume(packed, batch):
         nonlocal n_img
         for i in range(batch["image"].shape[0]):
-            boxes, labels, scores = detections_to_original_coords(det, batch, i)
+            boxes, labels, scores = detections_to_original_coords(
+                packed, batch, i
+            )
             img_id = int(batch["image_id"][i])
             predictions[img_id] = {
                 "boxes": boxes,
-                "labels": label_table[np.asarray(labels, np.int64)],
+                "labels": label_table[labels],
                 "scores": scores,
             }
             if data_type == "voc":
@@ -110,27 +130,35 @@ def evaluate(
             n_img += 1
 
     # Keep a window of dispatched-but-unfetched batches in flight: jax
-    # dispatch is async, and the host fetch in consume() is the sync
-    # point — overlapping it with the next batches' device work (and the
-    # runtime round-trip latency) instead of alternating
-    # dispatch/fetch/dispatch like the reference's per-image loop
-    # (test.py:38-88).
+    # dispatch is async and the host fetch is the sync point. The fetch
+    # itself pays a full runtime round trip (tunnelled backends: tens of
+    # ms), so fetches run on a small thread pool — overlapping both the
+    # next batches' device work AND each other's round-trip latency —
+    # instead of alternating dispatch/fetch/dispatch like the
+    # reference's per-image loop (test.py:38-88). Packed [B, D, 7]
+    # output keeps it to one fetch per batch (see _jitted_predict).
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     pending: deque = deque()
     dispatched = 0
-    for batch in loader.epoch(0):
-        det = predict_fn(
-            params, batch["image"], batch["extent"].astype(np.float32)
-        )
-        pending.append((det, batch))
-        dispatched += batch["image"].shape[0]
-        if len(pending) >= 8:
-            consume(*pending.popleft())
-        if max_images and dispatched >= max_images:
-            break
-    while pending:
-        consume(*pending.popleft())
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for batch in loader.epoch(0):
+            det = predict_fn(
+                params, batch["image"], batch["extent"].astype(np.float32)
+            )
+            pending.append(
+                (pool.submit(lambda d=det: np.asarray(d)), batch)
+            )
+            dispatched += batch["image"].shape[0]
+            if len(pending) >= 16:
+                fut, b = pending.popleft()
+                consume(fut.result(), b)
+            if max_images and dispatched >= max_images:
+                break
+        while pending:
+            fut, b = pending.popleft()
+            consume(fut.result(), b)
     infer_time = time.time() - t0
     n_det = sum(len(p["scores"]) for p in predictions.values())
     print0(

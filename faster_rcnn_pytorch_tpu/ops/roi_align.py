@@ -620,7 +620,12 @@ def multiscale_roi_align_batch(
         )(features, rois)
     k = min(OVERSIZE_K, rois.shape[1])
 
-    use_kernel = _window_kernel_enabled()
+    # The kernel's [win_y, win_x, c] VMEM windows need lane-aligned
+    # channels (Mosaic rejects the in-kernel reshape otherwise —
+    # measured: c=6 fails to compile, c=256 is the production shape).
+    use_kernel = (
+        _window_kernel_enabled() and features[0].shape[-1] % 128 == 0
+    )
     if use_kernel:
         win_y, win_x = window_dims(level_dims)
         w_pad = max(_round8(max(d[1] for d in level_dims)) + 8, win_x)

@@ -39,9 +39,14 @@ def main(argv=None) -> int:
         label_offset=label_offset_for(opts.model_generation, opts.data_type),
     )
 
-    params = init_params(model, opts)
-    if not opts.checkpoint:
+    params = init_params(model, opts)  # fresh init or .pth.tar import
+    if opts.checkpoint.endswith(".ckpt"):
+        path = opts.checkpoint  # explicit native checkpoint
+    elif not opts.checkpoint:
         path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
+    else:
+        path = None  # .pth.tar already imported by init_params
+    if path is not None:
         try:
             from faster_rcnn_pytorch_tpu.parallel.train_step import (
                 init_train_state,
@@ -55,6 +60,8 @@ def main(argv=None) -> int:
             params = state.params
             print0(f"loaded {path} (epoch {meta.get('epoch')})")
         except FileNotFoundError:
+            if opts.checkpoint:  # explicit path must exist
+                raise
             print0(f"no checkpoint at {path}; evaluating current params")
 
     coco_index = None

@@ -95,18 +95,19 @@ def test_evaluate_runs_end_to_end(coco_dir):
 
 def test_detections_to_original_coords_roundtrip():
     # canvas 64x112, resized image 60x100 inside it, original 120x200.
-    det = Detections(
-        boxes=jnp.asarray([[[0.1, 0.2, 0.5, 0.6]]], jnp.float32),
-        labels=jnp.asarray([[3]], jnp.int32),
-        scores=jnp.asarray([[0.9]], jnp.float32),
-        valid=jnp.asarray([[True]]),
+    # packed rows: xyxy, label, score, valid (the one-fetch layout).
+    packed = np.asarray(
+        [[[0.1, 0.2, 0.5, 0.6, 3.0, 0.9, 1.0],
+          [0.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0]]],
+        np.float32,
     )
     batch = {
         "image": np.zeros((1, 64, 112, 3), np.float32),
         "resized_hw": np.array([[60, 100]]),
         "orig_hw": np.array([[120, 200]]),
     }
-    boxes, labels, scores = detections_to_original_coords(det, batch, 0)
+    boxes, labels, scores = detections_to_original_coords(packed, batch, 0)
+    assert boxes.shape == (1, 4)  # invalid row dropped
     # canvas x: 0.1*112=11.2 -> original x: 11.2 * 200/100 = 22.4
     np.testing.assert_allclose(boxes[0], [22.4, 25.6, 112.0, 76.8], atol=1e-3)
     assert labels[0] == 3
