@@ -192,6 +192,42 @@ def _kernel(
         compute(buf1, sem1)
 
 
+def _batched_geometry(
+    rois, level_dims, strides, output_size, sampling_ratio, win_base
+):
+    """Batched window geometry shared by the forward and backward
+    kernels: flattened GLOBAL row starts into the level-stacked
+    batch-flattened buffer, 8-aligned x starts, per-bin weight rows and
+    the fits mask. Returns
+    ``(ybg [B*n], xb [B*n], wy [B,n,P,win_y], wx [B,n,P,win_x],
+    fits [B,n], win_y, win_x, w_pad, sum_h, row_offs)``."""
+    b, n = rois.shape[:2]
+    win_y, win_x = window_dims(level_dims, win_base)
+    w_max = max(d[1] for d in level_dims)
+    w_pad = max(_round8(w_max) + 8, win_x)
+    heights = [d[0] for d in level_dims]
+    sum_h = sum(heights)
+    row_offs_np = np.concatenate([[0], np.cumsum(heights)[:-1]]).astype(
+        np.int32
+    )
+
+    def geom(r):
+        yb, xb, wy, wx, fits = roi_window_geometry(
+            r, level_dims, strides, output_size, sampling_ratio,
+            win_y, win_x, w_pad,
+        )
+        lvl = fpn_level_assignment(r, k_min=2, k_max=2 + len(strides) - 1)
+        return jnp.asarray(row_offs_np)[lvl] + yb, xb, wy, wx, fits
+
+    ybg, xb, wy, wx, fits = jax.vmap(geom)(rois)
+    ybg = ybg + sum_h * jnp.arange(b, dtype=jnp.int32)[:, None]
+    return (
+        ybg.reshape(-1).astype(jnp.int32),
+        xb.reshape(-1).astype(jnp.int32),
+        wy, wx, fits, win_y, win_x, w_pad, sum_h, row_offs_np,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -222,13 +258,8 @@ def roi_window_align(
     c = features[0].shape[-1]
     p = output_size
     level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
-    win_y, win_x = window_dims(level_dims, win_base)
-    w_max = max(d[1] for d in level_dims)
-    w_pad = max(_round8(w_max) + 8, win_x)
-    heights = [d[0] for d in level_dims]
-    sum_h = sum(heights)
-    row_offs_np = np.concatenate([[0], np.cumsum(heights)[:-1]]).astype(
-        np.int32
+    ybg, xb, wy, wx, fits, win_y, win_x, w_pad, sum_h, _ = _batched_geometry(
+        rois, level_dims, strides, output_size, sampling_ratio, win_base
     )
 
     # Level-stacked, batch-flattened buffer [B*sum_h + win_y, w_pad, c].
@@ -240,17 +271,6 @@ def roi_window_align(
         axis=1,
     ).reshape(b * sum_h, w_pad, c)
     buf = jnp.pad(buf, ((0, win_y), (0, 0), (0, 0)))
-
-    def geom(r):
-        yb, xb, wy, wx, fits = roi_window_geometry(
-            r, level_dims, strides, output_size, sampling_ratio,
-            win_y, win_x, w_pad,
-        )
-        lvl = fpn_level_assignment(r, k_min=2, k_max=2 + len(strides) - 1)
-        return jnp.asarray(row_offs_np)[lvl] + yb, xb, wy, wx, fits
-
-    ybg, xb, wy, wx, fits = jax.vmap(geom)(rois)
-    ybg = ybg + sum_h * jnp.arange(b, dtype=jnp.int32)[:, None]
 
     kernel = functools.partial(_kernel, win_y, win_x, p)
     pooled = pl.pallas_call(
@@ -285,8 +305,8 @@ def roi_window_align(
         ),
         interpret=interpret,
     )(
-        ybg.reshape(-1).astype(jnp.int32),
-        xb.reshape(-1).astype(jnp.int32),
+        ybg,
+        xb,
         wy.reshape(b * n, p, win_y),
         wx.reshape(b * n, p, win_x),
         buf,
