@@ -228,6 +228,260 @@ def _batched_geometry(
     )
 
 
+def _bwd_kernel(
+    win_y, win_x, p, n_total,
+    yg_ref, xa_ref, wy_ref, wx_ref, g_ref,
+    buf_in, buf_out,
+    vbuf0, vbuf1, flags, rsem0, rsem1, wsem0, wsem1,
+):
+    """Grid = (N,). Transpose of :func:`_kernel`: per roi the upstream
+    ``[P, P, c]`` gradient expands through the separable weights to a
+    ``[win_y, win_x, c]`` patch (two MXU contractions) which is
+    accumulated into the level-stacked buffer by a read-modify-write
+    window DMA. Double-buffered like the forward — read(i+1) overlaps
+    compute(i) — with a write-after-write-free hazard protocol:
+
+      * reads/writes alternate between two VMEM window buffers, each
+        with its own write semaphore;
+      * before read(i+1) starts, write(i-1) is always waited (buffer
+        reuse), and write(i) is waited IFF the two windows' row ranges
+        overlap (callers interleave rois by sorted row start so this is
+        rare — see ``roi_window_align_bwd``);
+      * ``flags`` (SMEM) records whether each write semaphore's
+        outstanding signal was already consumed, so every signal is
+        waited exactly once (a second wait on a drained DMA semaphore
+        deadlocks).
+
+    Rois whose gradient must not land (fallback/padded) carry all-zero
+    weight rows, so their RMW round-trips add zeros.
+    """
+    i = pl.program_id(0)
+
+    # The RMW round-trips go through buf_out on BOTH sides: it is
+    # aliased to buf_in (same HBM buffer on hardware), and the Pallas
+    # interpreter initialises the aliased output from the input but does
+    # not reflect output writes back into input reads — reading buf_in
+    # would silently drop prior rois' contributions under interpret=True.
+    del buf_in
+
+    def rd(idx, buf, sem):
+        yg = yg_ref[idx]
+        xa = pl.multiple_of(xa_ref[idx], 8)
+        return pltpu.make_async_copy(
+            buf_out.at[pl.ds(yg, win_y), pl.ds(xa, win_x), slice(None)],
+            buf,
+            sem,
+        )
+
+    def wr(idx, buf, sem):
+        yg = yg_ref[idx]
+        xa = pl.multiple_of(xa_ref[idx], 8)
+        return pltpu.make_async_copy(
+            buf,
+            buf_out.at[pl.ds(yg, win_y), pl.ds(xa, win_x), slice(None)],
+            sem,
+        )
+
+    vbufs = (vbuf0, vbuf1)
+    rsems = (rsem0, rsem1)
+    wsems = (wsem0, wsem1)
+
+    @pl.when(i == 0)
+    def _():
+        flags[0] = 1  # 1 = no outstanding (unwaited) write on this sem
+        flags[1] = 1
+        rd(0, vbuf0, rsem0).start()
+
+    def step(par):
+        vbuf, rsem, wsem = vbufs[par], rsems[par], wsems[par]
+        rd(i, vbuf, rsem).wait()
+        g = g_ref[0]  # [P, P, c] f32
+        # x-expand: [P(q), win_x] x [P, P(q), c] -> [win_x, P, c]
+        s1 = jax.lax.dot_general(
+            wx_ref[0], g, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # y-expand: [P, win_y] x [win_x, P, c] -> [win_y, win_x, c]
+        patch = jax.lax.dot_general(
+            wy_ref[0], s1, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        vbuf[:] = vbuf[:] + patch
+        wr(i, vbuf, wsem).start()
+        flags[par] = 0
+
+    @pl.when(i % 2 == 0)
+    def _():
+        step(0)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        step(1)
+
+    nxt = i + 1
+
+    def prefetch(par_n):
+        vbuf, rsem = vbufs[par_n], rsems[par_n]
+        # Buffer reuse: write(i-1) (same parity) must leave vbuf first.
+        @pl.when(flags[par_n] == 0)
+        def _():
+            wr(nxt - 2, vbuf, wsems[par_n]).wait()
+
+        flags[par_n] = 1
+        # RMW hazard: window(i+1) must observe write(i) if rows overlap.
+        par = 1 - par_n
+        dy = yg_ref[nxt] - yg_ref[i]
+        ov = (dy < win_y) & (dy > -win_y)
+
+        @pl.when(ov & (flags[par] == 0))
+        def _():
+            wr(i, vbufs[par], wsems[par]).wait()
+            flags[par] = 1
+
+        rd(nxt, vbuf, rsem).start()
+
+    @pl.when((nxt < n_total) & (nxt % 2 == 0))
+    def _():
+        prefetch(0)
+
+    @pl.when((nxt < n_total) & (nxt % 2 == 1))
+    def _():
+        prefetch(1)
+
+    # Drain: the kernel must not finish with in-flight DMAs.
+    last_par = (n_total - 1) % 2
+
+    @pl.when(i == n_total - 1)
+    def _():
+        if n_total >= 2:
+
+            @pl.when(flags[1 - last_par] == 0)
+            def _():
+                wr(
+                    n_total - 2, vbufs[1 - last_par], wsems[1 - last_par]
+                ).wait()
+
+        wr(n_total - 1, vbufs[last_par], wsems[last_par]).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "level_dims", "strides", "output_size", "sampling_ratio",
+        "win_base", "interpret",
+    ),
+)
+def roi_window_align_bwd(
+    g: Array,
+    rois: Array,
+    level_dims: tuple[tuple[int, int], ...],
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    win_base: int = WIN_BASE,
+    interpret: bool = False,
+) -> tuple[tuple[Array, ...], Array]:
+    """Features-gradient of the window align: scatter-accumulate kernel.
+
+    Args:
+      g: ``[B, n, P, P, c]`` upstream gradient (any float dtype).
+      rois: ``[B, n, 4]`` xyxy pixel rois (must match the forward call).
+      level_dims: per-level ``(h_l, w_l)`` of the feature maps.
+
+    Returns:
+      ``(dfeatures, fits)`` — per-level ``[B, h_l, w_l, c]`` float32
+      gradients covering only the rois with ``fits=True`` (gradients of
+      non-fitting rois are zeroed here; the caller re-derives them
+      through its exact fallback path), and the ``[B, n]`` fits mask.
+
+    Rois are processed in an interleaved sorted-by-row-start order (the
+    first/second halves of the sorted order alternate), so consecutive
+    grid steps touch far-apart buffer rows and the kernel's RMW hazard
+    wait almost never fires.
+    """
+    b, n = rois.shape[:2]
+    c = g.shape[-1]
+    p = output_size
+    ybg, xb, wy, wx, fits, win_y, win_x, w_pad, sum_h, _ = _batched_geometry(
+        rois, level_dims, strides, output_size, sampling_ratio, win_base
+    )
+    total = b * n
+
+    # Zero the gradient (via the weight rows) of rois the kernel must
+    # not scatter: their RMW still runs but adds zeros.
+    keep = fits.reshape(total, 1, 1).astype(jnp.float32)
+    wy = wy.reshape(total, p, win_y) * keep
+    wx = wx.reshape(total, p, win_x) * keep
+
+    # Interleave by sorted global row start: order[2i] walks the first
+    # half of the sorted order, order[2i+1] the second half.
+    ranks = jnp.argsort(ybg)
+    half = (total + 1) // 2
+    order = (
+        jnp.zeros((total,), ranks.dtype)
+        .at[0::2]
+        .set(ranks[:half])
+        .at[1::2]
+        .set(ranks[half:])
+    )
+    ybg = ybg[order]
+    xb = xb[order]
+    wy = wy[order]
+    wx = wx[order]
+    g = g.reshape(total, p, p, c)[order].astype(jnp.float32)
+
+    buf0 = jnp.zeros((b * sum_h + win_y, w_pad, c), jnp.float32)
+    kernel = functools.partial(_bwd_kernel, win_y, win_x, p, total)
+    dbuf = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(buf0.shape, jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(total,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, p, win_y),
+                    lambda i, *sc: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, p, win_x),
+                    lambda i, *sc: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, p, p, c),
+                    lambda i, *sc: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((win_y, win_x, c), jnp.float32),
+                pltpu.VMEM((win_y, win_x, c), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        # Flattened input index 5 (2 scalar-prefetch + wy, wx, g, buf)
+        # aliases output 0: the kernel accumulates in place.
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(ybg, xb, wy, wx, g, buf0)
+
+    dbuf = dbuf[: b * sum_h].reshape(b, sum_h, w_pad, c)
+    outs = []
+    off = 0
+    for h, w in level_dims:
+        outs.append(dbuf[:, off : off + h, :w, :])
+        off += h
+    return tuple(outs), fits
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

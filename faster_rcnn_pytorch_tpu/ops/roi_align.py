@@ -577,13 +577,22 @@ def _batch_window_kernel(
     return jax.vmap(per_image)(features, rois, pooled, fits)
 
 
-def _window_kernel_enabled() -> bool:
+def _window_kernel_mode() -> str:
+    """Window-kernel dispatch: ``""`` (disabled), ``"tpu"`` (real
+    kernel), or ``"interpret"`` (Pallas interpreter — any backend;
+    test-only, set ``FRT_ALIGN_KERNEL=interpret``)."""
     import os
 
-    return (
-        os.environ.get("FRT_ALIGN_KERNEL", "1") != "0"
-        and jax.default_backend() == "tpu"
-    )
+    v = os.environ.get("FRT_ALIGN_KERNEL", "1")
+    if v == "0":
+        return ""
+    if v == "interpret":
+        return "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else ""
+
+
+def _window_kernel_enabled() -> bool:
+    return _window_kernel_mode() != ""
 
 
 @functools.partial(
@@ -623,9 +632,8 @@ def multiscale_roi_align_batch(
     # The kernel's [win_y, win_x, c] VMEM windows need lane-aligned
     # channels (Mosaic rejects the in-kernel reshape otherwise —
     # measured: c=6 fails to compile, c=256 is the production shape).
-    use_kernel = (
-        _window_kernel_enabled() and features[0].shape[-1] % 128 == 0
-    )
+    kernel_mode = _window_kernel_mode()
+    use_kernel = kernel_mode != "" and features[0].shape[-1] % 128 == 0
     if use_kernel:
         win_y, win_x = window_dims(level_dims)
         w_pad = max(_round8(max(d[1] for d in level_dims)) + 8, win_x)
@@ -638,7 +646,8 @@ def multiscale_roi_align_batch(
             ).sum()
         )(rois).max()
         fast = lambda _: _batch_window_kernel(  # noqa: E731
-            features, rois, strides, output_size, sampling_ratio
+            features, rois, strides, output_size, sampling_ratio,
+            interpret=kernel_mode == "interpret",
         )
     else:
         over = jax.vmap(
@@ -667,10 +676,8 @@ def _msra_batch_fwd(features, rois, strides, output_size, sampling_ratio):
     return out, (features, rois)
 
 
-def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
-    """Same dense-matmul VJP story as :func:`multiscale_roi_align` —
-    see :func:`_msra_bwd`."""
-    features, rois = res
+def _dense_vjp(features, rois, g, strides, output_size, sampling_ratio):
+    """Features-gradient through the folded dense-matmul formulation."""
     _, vjp = jax.vjp(
         lambda f: jax.vmap(
             lambda f2, r: _dense_folded(
@@ -680,6 +687,87 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
         features,
     )
     (df,) = vjp(g)
+    return df
+
+
+def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
+    """Features-gradient of the batched align.
+
+    On TPU (production channel counts) the fast path is the Pallas
+    scatter-accumulate kernel (ops/pallas/roi_window_kernel.py
+    ``roi_window_align_bwd``): per roi the upstream gradient expands to
+    its window patch on the MXU and is accumulated into the
+    level-stacked buffer by RMW window DMAs. Rois whose footprint
+    overflows the window get their gradient through a compacted
+    (``OVERSIZE_K``/image) dense-matmul VJP instead, mirroring the
+    forward's corner fallback; if an image overflows the compaction
+    budget the whole batch falls back to the dense VJP
+    (:func:`_dense_folded` — see :func:`_msra_bwd`). Both formulations
+    differentiate the same exact function, so either branch is a valid
+    adjoint."""
+    features, rois = res
+    level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    kernel_mode = _window_kernel_mode()
+    use_kernel = (
+        kernel_mode != ""
+        and features[0].shape[-1] % 128 == 0
+        and min(min(d) for d in level_dims) >= _BIN_WIN
+    )
+    if not use_kernel:
+        df = _dense_vjp(features, rois, g, strides, output_size, sampling_ratio)
+        return df, jnp.zeros_like(rois)
+
+    from faster_rcnn_pytorch_tpu.ops.pallas.roi_window_kernel import (
+        _round8,
+        roi_window_align_bwd,
+        roi_window_geometry,
+        window_dims,
+    )
+
+    k = min(OVERSIZE_K, rois.shape[1])
+    win_y, win_x = window_dims(level_dims)
+    w_pad = max(_round8(max(d[1] for d in level_dims)) + 8, win_x)
+    over = jax.vmap(
+        lambda r: (
+            ~roi_window_geometry(
+                r, level_dims, strides, output_size, sampling_ratio,
+                win_y, win_x, w_pad,
+            )[4]
+        ).sum()
+    )(rois).max()
+
+    def kernel_branch(_):
+        dfs, fits = roi_window_align_bwd(
+            g, rois, level_dims, strides, output_size, sampling_ratio,
+            interpret=kernel_mode == "interpret",
+        )
+
+        # Compacted dense VJP for the (rare) non-fitting rois; padded
+        # slots (fitting rois picked by top_k) carry zero gradient.
+        def sel_img(r_img, g_img, fits_img):
+            _, sel = jax.lax.top_k((~fits_img).astype(jnp.float32), k)
+            gz = g_img[sel] * (~fits_img[sel])[:, None, None, None].astype(
+                g_img.dtype
+            )
+            return r_img[sel], gz
+
+        r_sel, g_sel = jax.vmap(sel_img)(rois, g, fits)
+        df2 = _dense_vjp(
+            features, r_sel, g_sel, strides, output_size, sampling_ratio
+        )
+        return tuple(
+            (a + b.astype(jnp.float32)).astype(f.dtype)
+            for a, b, f in zip(dfs, df2, features)
+        )
+
+    df = jax.lax.cond(
+        over <= k,
+        kernel_branch,
+        lambda _: _dense_vjp(
+            features, rois, g, strides, output_size, sampling_ratio
+        ),
+        None,
+    )
     return df, jnp.zeros_like(rois)
 
 

@@ -376,6 +376,120 @@ def test_roi_window_kernel_matches_dense_fuzz():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+def test_roi_window_bwd_kernel_matches_dense_vjp_fuzz():
+    """Scatter-accumulate backward kernel (interpret mode) vs the
+    autodiff VJP of the dense oracle, gradients of non-fitting rois
+    zeroed on both sides — includes overlap-heavy clustered rois that
+    exercise the RMW hazard path."""
+    from faster_rcnn_pytorch_tpu.ops.pallas.roi_window_kernel import (
+        roi_window_align_bwd,
+    )
+    from faster_rcnn_pytorch_tpu.ops.roi_align import (
+        multiscale_roi_align_dense,
+    )
+
+    rs = np.random.RandomState(7)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(2, s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    level_dims = tuple((f.shape[1], f.shape[2]) for f in feats)
+    rois_imgs = []
+    for _ in range(2):
+        xy1 = rs.uniform(-10, 250, size=(28, 2))
+        wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(28, 2)))
+        r = np.concatenate([xy1, xy1 + wh], axis=1)
+        # Clustered near-identical rois: consecutive windows overlap.
+        clump = np.tile(np.array([[40.0, 40.0, 120.0, 120.0]]), (8, 1))
+        clump += rs.uniform(-3, 3, size=clump.shape)
+        extremes = np.array(
+            [
+                [0, 0, 288, 10],
+                [0, 0, 10, 256],
+                [200, 200, 1000, 1000],
+                [0, 0, 288, 256],
+            ]
+        )
+        rois_imgs.append(np.concatenate([r, clump, extremes]))
+    rois = jnp.asarray(np.stack(rois_imgs).astype(np.float32))
+    b, n = rois.shape[:2]
+    g = jnp.asarray(rs.normal(size=(b, n, 7, 7, 6)).astype(np.float32))
+
+    dfs, fits = roi_window_align_bwd(
+        g, rois, level_dims, interpret=True
+    )
+    gz = g * fits[..., None, None, None].astype(g.dtype)
+    _, vjp = jax.vjp(
+        lambda f: jax.vmap(lambda f2, r: multiscale_roi_align_dense(f2, r))(
+            f, rois
+        ),
+        feats,
+    )
+    (want,) = vjp(gz)
+    assert bool(fits.sum()) > 0 and bool((~fits).sum()) > 0
+    for got_l, want_l in zip(dfs, want):
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(want_l), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_msra_batch_vjp_kernel_composition():
+    """Full custom-VJP wiring (kernel + compacted dense fallback for
+    non-fitting rois) through FRT_ALIGN_KERNEL=interpret, vs the dense
+    VJP — lane-aligned channels so the kernel gate passes."""
+    import os
+
+    import importlib
+
+    ra = importlib.import_module("faster_rcnn_pytorch_tpu.ops.roi_align")
+
+    rs = np.random.RandomState(11)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(1, s, s, 128)).astype(np.float32) * 0.1)
+        for s in (32, 16, 8, 4)
+    )
+    strides = (4, 8, 16, 32)
+    xy1 = rs.uniform(0, 80, size=(10, 2))
+    wh = np.exp(rs.uniform(np.log(4), np.log(120), size=(10, 2)))
+    r = np.concatenate([xy1, xy1 + wh], axis=1)
+    extremes = np.array([[0, 0, 127, 6], [0, 0, 900, 900]])
+    rois = jnp.asarray(
+        np.concatenate([r, extremes])[None].astype(np.float32)
+    )
+    g = jnp.asarray(
+        rs.normal(size=(1, 12, 7, 7, 128)).astype(np.float32)
+    )
+
+    def run():
+        _, vjp = jax.vjp(
+            lambda f: ra.multiscale_roi_align_batch(f, rois, strides, 7, 2),
+            feats,
+        )
+        return vjp(g)[0]
+
+    old = os.environ.get("FRT_ALIGN_KERNEL")
+    os.environ["FRT_ALIGN_KERNEL"] = "interpret"
+    try:
+        got = run()
+    finally:
+        if old is None:
+            os.environ.pop("FRT_ALIGN_KERNEL", None)
+        else:
+            os.environ["FRT_ALIGN_KERNEL"] = old
+
+    _, vjp = jax.vjp(
+        lambda f: jax.vmap(
+            lambda f2, r2: ra.multiscale_roi_align_dense(f2, r2, strides)
+        )(f, rois),
+        feats,
+    )
+    (want,) = vjp(g)
+    for got_l, want_l in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(want_l), atol=3e-4, rtol=2e-4
+        )
+
+
 def test_roi_window_geometry_fits():
     """fits must be False exactly for rois whose footprint exceeds the
     window at their assigned level, True for compact rois."""
