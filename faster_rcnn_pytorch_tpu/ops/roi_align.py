@@ -705,11 +705,18 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
     (:func:`_dense_folded` — see :func:`_msra_bwd`). Both formulations
     differentiate the same exact function, so either branch is a valid
     adjoint."""
+    import os
+
     features, rois = res
     level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
     kernel_mode = _window_kernel_mode()
+    # The backward kernel's RMW hazard protocol is only exercisable on
+    # real hardware (the interpreter is sequential); it stays opt-in on
+    # TPU until tools/microbench_align_bwd.py has validated + timed it
+    # on the attached chip. Interpret mode (tests) always dispatches.
+    bwd_on_tpu = os.environ.get("FRT_ALIGN_BWD_KERNEL", "0") == "1"
     use_kernel = (
-        kernel_mode != ""
+        (kernel_mode == "interpret" or (kernel_mode == "tpu" and bwd_on_tpu))
         and features[0].shape[-1] % 128 == 0
         and min(min(d) for d in level_dims) >= _BIN_WIN
     )
