@@ -419,6 +419,23 @@ def test_roi_window_bwd_kernel_matches_dense_vjp_fuzz():
         g, rois, level_dims, interpret=True
     )
     gz = g * fits[..., None, None, None].astype(g.dtype)
+
+    # Odd total roi count: the interleaved ordering's split is uneven.
+    dfs_odd, fits_odd = roi_window_align_bwd(
+        g[:1, :13], rois[:1, :13], level_dims, interpret=True
+    )
+    gz_odd = g[:1, :13] * fits_odd[..., None, None, None].astype(g.dtype)
+    _, vjp_odd = jax.vjp(
+        lambda f: jax.vmap(lambda f2, r: multiscale_roi_align_dense(f2, r))(
+            f, rois[:1, :13]
+        ),
+        tuple(f[:1] for f in feats),
+    )
+    (want_odd,) = vjp_odd(gz_odd)
+    for got_l, want_l in zip(dfs_odd, want_odd):
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(want_l), atol=2e-4, rtol=1e-4
+        )
     _, vjp = jax.vjp(
         lambda f: jax.vmap(lambda f2, r: multiscale_roi_align_dense(f2, r))(
             f, rois
