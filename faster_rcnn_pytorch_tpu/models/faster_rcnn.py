@@ -41,7 +41,7 @@ from faster_rcnn_pytorch_tpu.models.vgg import VGG16Features
 from faster_rcnn_pytorch_tpu.ops.boxes import cxcy_to_xy, decode, xy_to_cxcy
 from faster_rcnn_pytorch_tpu.ops.nms import multiclass_nms
 from faster_rcnn_pytorch_tpu.ops.roi_align import multiscale_roi_align_batch
-from faster_rcnn_pytorch_tpu.ops.roi_pool import roi_pool
+from faster_rcnn_pytorch_tpu.ops.roi_pool import roi_pool_batch
 
 Array = jax.Array
 
@@ -134,9 +134,7 @@ class LegacyFRCNN(nn.Module):
         """
         b, fh, fw, _ = feats.shape
         scale = jnp.array([fw, fh, fw, fh], dtype=jnp.float32)
-        pooled = jax.vmap(
-            lambda f, r: roi_pool(f, r * scale, 1.0, output_size=7)
-        )(feats, rois)
+        pooled = roi_pool_batch(feats, rois * scale, 1.0, output_size=7)
         x = pooled.reshape(b, rois.shape[1], -1)  # [B, S, 7*7*512] (h,w,c)
         x = nn.relu(self.fc6(x))
         x = nn.relu(self.fc7(x))

@@ -595,18 +595,16 @@ def _window_kernel_enabled() -> bool:
     return _window_kernel_mode() != ""
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
-)
-def multiscale_roi_align_batch(
+def _msra_batch_primal(
     features,
     rois,
     strides: tuple[int, ...] = (4, 8, 16, 32),
     output_size: int = 7,
     sampling_ratio: int = 2,
 ):
-    """Batched :func:`multiscale_roi_align`: features ``[B, h_l, w_l, c]``
-    per level, rois ``[B, n, 4]`` -> ``[B, n, P, P, c]``.
+    """Dispatch body of :func:`multiscale_roi_align_batch` (shape
+    polymorphic over the batch dim — also the per-shard lowering of its
+    SPMD partitioning rule).
 
     On TPU the fast path is the pipelined per-roi window-DMA Pallas
     kernel (ops/pallas/roi_window_kernel.py; measured on the chip at
@@ -669,6 +667,61 @@ def multiscale_roi_align_batch(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_msra(strides, output_size, sampling_ratio, n_levels):
+    """Batch-dim SPMD rule for the forward dispatch (see
+    ``ops/partition.py`` for why custom-kernel calls need one). The body
+    is jitted so trace-time numpy constants (level dims, row offsets)
+    fold into the inner jaxpr — custom_partitioning rejects closed-over
+    array consts."""
+    from faster_rcnn_pytorch_tpu.ops.partition import batch_partitioned
+
+    body = jax.jit(
+        functools.partial(
+            _msra_batch_primal,
+            strides=strides,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+        )
+    )
+
+    ops = ", ".join(f"b h{i} w{i} c{i}" for i in range(n_levels))
+    repl = tuple(
+        x for i in range(n_levels) for x in (f"h{i}", f"w{i}", f"c{i}")
+    ) + ("n", "f", "p", "q", "co")
+    return batch_partitioned(
+        lambda features, rois: body(features, rois),
+        sharding_rule=f"{ops}, b n f -> b n p q co",
+        need_replication_factors=repl,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def multiscale_roi_align_batch(
+    features,
+    rois,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+):
+    """Batched :func:`multiscale_roi_align`: features ``[B, h_l, w_l, c]``
+    per level, rois ``[B, n, 4]`` -> ``[B, n, P, P, c]``. Dispatch body
+    in :func:`_msra_batch_primal`; on multi-device runtimes it goes
+    through the batch-dim SPMD partitioning rule
+    (:func:`_partitioned_msra`); custom VJP below."""
+    from faster_rcnn_pytorch_tpu.ops.partition import (
+        spmd_partition_enabled,
+    )
+
+    if not spmd_partition_enabled():
+        return _msra_batch_primal(
+            features, rois, strides, output_size, sampling_ratio
+        )
+    return _partitioned_msra(
+        strides, output_size, sampling_ratio, len(features)
+    )(features, rois)
+
+
 def _msra_batch_fwd(features, rois, strides, output_size, sampling_ratio):
     out = multiscale_roi_align_batch(
         features, rois, strides, output_size, sampling_ratio
@@ -704,10 +757,56 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
     budget the whole batch falls back to the dense VJP
     (:func:`_dense_folded` — see :func:`_msra_bwd`). Both formulations
     differentiate the same exact function, so either branch is a valid
-    adjoint."""
-    import os
+    adjoint. Like the forward, the computation is wrapped in a batch-dim
+    SPMD partitioning rule (:func:`_partitioned_msra_bwd`) so the
+    backward kernel's custom call shards over the mesh instead of
+    gathering."""
+    from faster_rcnn_pytorch_tpu.ops.partition import (
+        spmd_partition_enabled,
+    )
 
     features, rois = res
+    if not spmd_partition_enabled():
+        df = _msra_bwd_impl(
+            features, rois, g, strides, output_size, sampling_ratio
+        )
+    else:
+        df = _partitioned_msra_bwd(
+            strides, output_size, sampling_ratio, len(features)
+        )(features, rois, g)
+    return df, jnp.zeros_like(rois)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_msra_bwd(strides, output_size, sampling_ratio, n_levels):
+    """Batch-dim SPMD rule for the backward — see
+    :func:`_partitioned_msra`."""
+    from faster_rcnn_pytorch_tpu.ops.partition import batch_partitioned
+
+    body = jax.jit(
+        functools.partial(
+            _msra_bwd_impl,
+            strides=strides,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+        )
+    )
+
+    ops = ", ".join(f"b h{i} w{i} c{i}" for i in range(n_levels))
+    repl = tuple(
+        x for i in range(n_levels) for x in (f"h{i}", f"w{i}", f"c{i}")
+    ) + ("n", "f", "p", "q", "cg")
+    return batch_partitioned(
+        lambda features, rois, g: body(features, rois, g),
+        sharding_rule=f"{ops}, b n f, b n p q cg -> {ops}",
+        need_replication_factors=repl,
+    )
+
+
+def _msra_bwd_impl(features, rois, g, strides, output_size, sampling_ratio):
+    """Per-shard backward dispatch body (see :func:`_msra_batch_bwd`)."""
+    import os
+
     level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
     kernel_mode = _window_kernel_mode()
     # The backward kernel's RMW hazard protocol is only exercisable on
@@ -721,8 +820,9 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
         and min(min(d) for d in level_dims) >= _BIN_WIN
     )
     if not use_kernel:
-        df = _dense_vjp(features, rois, g, strides, output_size, sampling_ratio)
-        return df, jnp.zeros_like(rois)
+        return _dense_vjp(
+            features, rois, g, strides, output_size, sampling_ratio
+        )
 
     from faster_rcnn_pytorch_tpu.ops.pallas.roi_window_kernel import (
         _round8,
@@ -775,7 +875,7 @@ def _msra_batch_bwd(strides, output_size, sampling_ratio, res, g):
         ),
         None,
     )
-    return df, jnp.zeros_like(rois)
+    return df
 
 
 multiscale_roi_align_batch.defvjp(_msra_batch_fwd, _msra_batch_bwd)

@@ -153,3 +153,104 @@ def roi_pool_lax(
     )
     out = out.reshape(pad_n, output_size, output_size, c)[:n]
     return out.astype(features.dtype)
+
+
+def _roi_pool_batch_primal(features, rois, spatial_scale, output_size):
+    return jax.vmap(
+        lambda f, r: roi_pool(
+            f, r, spatial_scale, output_size=output_size
+        )
+    )(features, rois)
+
+
+def _roi_pool_batch_bwd_impl(features, rois, g, spatial_scale, output_size):
+    _, vjp = jax.vjp(
+        lambda f: _roi_pool_batch_primal(f, rois, spatial_scale, output_size),
+        features,
+    )
+    return vjp(g)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_roi_pool(spatial_scale, output_size, bwd):
+    """Batch-dim SPMD rule for the (vmapped) RoIPool kernel dispatch —
+    see ``ops/partition.py`` for why custom-kernel calls need one."""
+    from faster_rcnn_pytorch_tpu.ops.partition import batch_partitioned
+
+    if bwd:
+        body = jax.jit(
+            functools.partial(
+                _roi_pool_batch_bwd_impl,
+                spatial_scale=spatial_scale,
+                output_size=output_size,
+            )
+        )
+        return batch_partitioned(
+            lambda features, rois, g: body(features, rois, g),
+            sharding_rule="b h w c, b n f, b n p q cg -> b h w c",
+            need_replication_factors=(
+                "h", "w", "c", "n", "f", "p", "q", "cg"
+            ),
+        )
+    body = jax.jit(
+        functools.partial(
+            _roi_pool_batch_primal,
+            spatial_scale=spatial_scale,
+            output_size=output_size,
+        )
+    )
+    return batch_partitioned(
+        lambda features, rois: body(features, rois),
+        sharding_rule="b h w c, b n f -> b n p q co",
+        need_replication_factors=("h", "w", "c", "n", "f", "p", "q", "co"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def roi_pool_batch(
+    features: Array,
+    rois: Array,
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+) -> Array:
+    """Batched :func:`roi_pool`: features ``[B, h, w, c]``, rois
+    ``[B, n, 4]`` -> ``[B, n, P, P, c]``. On multi-device runtimes the
+    dispatch goes through a batch-dim SPMD partitioning rule so the
+    Pallas kernel's custom call shards over the mesh instead of
+    gathering (``ops/partition.py``)."""
+    from faster_rcnn_pytorch_tpu.ops.partition import (
+        spmd_partition_enabled,
+    )
+
+    if not spmd_partition_enabled():
+        return _roi_pool_batch_primal(
+            features, rois, spatial_scale, output_size
+        )
+    return _partitioned_roi_pool(spatial_scale, output_size, False)(
+        features, rois
+    )
+
+
+def _rpb_fwd(features, rois, spatial_scale, output_size):
+    out = roi_pool_batch(features, rois, spatial_scale, output_size)
+    return out, (features, rois)
+
+
+def _rpb_bwd(spatial_scale, output_size, res, g):
+    from faster_rcnn_pytorch_tpu.ops.partition import (
+        spmd_partition_enabled,
+    )
+
+    features, rois = res
+    if not spmd_partition_enabled():
+        df = _roi_pool_batch_bwd_impl(
+            features, rois, g, spatial_scale, output_size
+        )
+    else:
+        df = _partitioned_roi_pool(spatial_scale, output_size, True)(
+            features, rois, g
+        )
+    return df, jnp.zeros_like(rois)
+
+
+roi_pool_batch.defvjp(_rpb_fwd, _rpb_bwd)
