@@ -135,16 +135,17 @@ class DetectionLoader:
         return image, boxes, labels
 
     def _to_canvas(self, image, boxes, labels, rec: Record, landscape: bool):
-        h, w = image.shape[:2]
         canvas_h, canvas_w = self.canvas_land if landscape else self.canvas_port
-        # Safety clamp (transform guarantees <= canvas for default sizes).
-        if h > canvas_h or w > canvas_w:
-            scale = min(canvas_h / h, canvas_w / w)
-            image, boxes = _rescale(image, boxes, scale)
-            h, w = image.shape[:2]
+        image, boxes = self._clamp_to_canvas(image, boxes, canvas_h, canvas_w)
+        h, w = image.shape[:2]
         from faster_rcnn_pytorch_tpu.data import native
 
         out = native.normalize_into_canvas(image, canvas_h, canvas_w)
+        meta = self._meta_for(h, w, boxes, labels, rec, canvas_h, canvas_w)
+        return {"image": out, **meta}
+
+    def _meta_for(self, h, w, boxes, labels, rec: Record, canvas_h, canvas_w):
+        """Everything in a batch item except the pixels."""
         g = self.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)
         gt_labels = np.zeros((g,), np.int32)
@@ -158,7 +159,6 @@ class DetectionLoader:
             gt_labels[:n] = labels[:n]
             gt_mask[:n] = True
         return {
-            "image": out,
             "extent": np.array([w / canvas_w, h / canvas_h], np.float32),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
@@ -202,19 +202,186 @@ class DetectionLoader:
         # One canvas per batch -> identical shapes by construction.
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def _clamp_to_canvas(self, image, boxes, canvas_h, canvas_w):
+        """Safety clamp (transform guarantees <= canvas for defaults)."""
+        h, w = image.shape[:2]
+        if h > canvas_h or w > canvas_w:
+            scale = min(canvas_h / h, canvas_w / w)
+            image, boxes = _rescale(image, boxes, scale)
+        return image, boxes
+
+    def _make_batch_raw(self, batch_spec, epoch, img_out):
+        """Worker half of the process pipeline: decode + augment +
+        resize; the uint8 images land in ``img_out`` ``[B, ch, cw, 3]``
+        (a shared-memory slot — the pad region is left untouched, the
+        consumer's normalize pads from the per-image ``resized_hw``).
+        Returns the batch dict WITHOUT ``image``."""
+        members, landscape = batch_spec
+        canvas_h, canvas_w = (
+            self.canvas_land if landscape else self.canvas_port
+        )
+        items = []
+        for slot_i, i in enumerate(members):
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+            )
+            rec = self.records[i]
+            image, boxes, labels = self._prepare_one(rec, rng)
+            image, boxes = self._clamp_to_canvas(
+                image, boxes, canvas_h, canvas_w
+            )
+            h, w = image.shape[:2]
+            img_out[slot_i, :h, :w] = image
+            items.append(
+                self._meta_for(h, w, boxes, labels, rec, canvas_h, canvas_w)
+            )
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def _finish_batch(self, meta, img_view, landscape):
+        """Consumer half: normalize + pad each uint8 image into the
+        float32 canvas (native, GIL-free) and attach to the batch."""
+        from faster_rcnn_pytorch_tpu.data import native
+
+        canvas_h, canvas_w = (
+            self.canvas_land if landscape else self.canvas_port
+        )
+        b = meta["resized_hw"].shape[0]
+        imgs = np.empty((b, canvas_h, canvas_w, 3), np.float32)
+        for i in range(b):
+            h, w = (int(v) for v in meta["resized_hw"][i])
+            imgs[i] = native.normalize_into_canvas(
+                img_view[i, :h, :w], canvas_h, canvas_w
+            )
+        return {"image": imgs, **meta}
+
     # ------------------------------------------------------------- public
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        """Yield batches with background worker prefetch."""
+        """Yield batches with background worker prefetch.
+
+        ``num_workers > 0`` uses worker PROCESSES (like the reference's
+        torch DataLoader): the decode/augment path is GIL-bound
+        pure-Python/numpy, so thread workers cannot scale it on any
+        host — they serialize on the GIL and only add switching
+        overhead (measured on this image's 1-core host: 73 img/s inline
+        -> 65/36/13 img/s at 1/2/4 threads). Worker count is capped at
+        cpu_count-1; set ``FRT_LOADER_MP=thread`` to force the legacy
+        thread pool (or ``spawn`` to avoid fork)."""
         batches = self._batches_for_epoch(epoch)
         if not batches:
             return
-        if self.num_workers <= 0:
+        import os
+
+        # Workers only help with spare cores: parallelism beyond
+        # cpu_count-1 (one core stays with the consumer/train loop) is
+        # pure scheduling overhead — measured 73 -> 15 img/s from
+        # oversubscribing a 1-core host with 8 workers.
+        workers = min(self.num_workers, max((os.cpu_count() or 1) - 1, 0))
+        if workers <= 0:
             for members in batches:
                 yield self._make_batch(members, epoch)
             return
 
-        out_q: queue.Queue = queue.Queue(maxsize=2 * self.num_workers)
+        mode = os.environ.get("FRT_LOADER_MP", "fork")
+        if mode == "thread":
+            yield from self._epoch_threaded(batches, epoch, workers)
+        else:
+            yield from self._epoch_processes(batches, epoch, mode, workers)
+
+    def _epoch_processes(self, batches, epoch: int, mp_context: str, workers: int):
+        """Process-pool prefetch: deterministic batch order, pixels via
+        a shared-memory slot ring.
+
+        Workers write RESIZED UINT8 images into fixed shared-memory
+        slots and send only the small metadata through the queue; the
+        consumer runs the native (GIL-releasing) normalize+pad into the
+        float32 canvas and recycles the slot. Shipping the float32
+        canvases themselves through ``mp.Queue`` measured a hard ~165
+        MB/s pickle+pipe ceiling (22 img/s at any worker count); uint8
+        shared memory moves ~4x fewer bytes with two memcpys and no
+        pickling of pixels. Slot count bounds memory and provides
+        backpressure (workers block on ``free_q``)."""
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        ctx = mp.get_context(mp_context)
+        ch, cw = self.canvas_land  # same byte count as portrait
+        slot_shape = (self.batch_size, ch, cw, 3)
+        n_slots = 2 * workers + 2
+        shms = [
+            shared_memory.SharedMemory(
+                create=True, size=int(np.prod(slot_shape))
+            )
+            for _ in range(n_slots)
+        ]
+        task_q = ctx.Queue()
+        out_q = ctx.Queue()
+        free_q = ctx.Queue()
+        for s in range(n_slots):
+            free_q.put(s)
+        for pos, members in enumerate(batches):
+            task_q.put((pos, members))
+        for _ in range(workers):
+            task_q.put(None)  # one stop sentinel per worker
+
+        procs = [
+            ctx.Process(
+                target=_mp_worker,
+                args=(
+                    self,
+                    epoch,
+                    task_q,
+                    out_q,
+                    free_q,
+                    [s.name for s in shms],
+                    slot_shape,
+                ),
+                daemon=True,
+            )
+            for _ in range(workers)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            views = [
+                np.ndarray(slot_shape, np.uint8, buffer=s.buf) for s in shms
+            ]
+            pending: dict[int, dict] = {}
+            next_pos = 0
+            received = 0
+            while received < len(batches):
+                pos, slot, landscape, meta = out_q.get()
+                if isinstance(meta, str):  # worker traceback
+                    raise RuntimeError(f"loader worker failed:\n{meta}")
+                # Finish (and free the slot) in ARRIVAL order so slot
+                # recycling never waits on batch ordering.
+                view = views[slot]
+                if not landscape:
+                    view = view.reshape(self.batch_size, cw, ch, 3)
+                batch = self._finish_batch(meta, view, landscape)
+                free_q.put(slot)
+                pending[pos] = batch
+                received += 1
+                while next_pos in pending:
+                    yield pending.pop(next_pos)
+                    next_pos += 1
+        finally:
+            # Normal exhaustion: workers exited on their sentinel. On
+            # abandonment (generator closed early) they would block on
+            # free_q/out_q forever — terminate them.
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+            for q in (task_q, out_q, free_q):
+                q.cancel_join_thread()
+            for s in shms:
+                s.close()
+                s.unlink()
+
+    def _epoch_threaded(self, batches, epoch: int, workers: int):
+        out_q: queue.Queue = queue.Queue(maxsize=2 * workers)
         task_q: queue.Queue = queue.Queue()
         for pos, members in enumerate(batches):
             task_q.put((pos, members))
@@ -232,7 +399,7 @@ class DetectionLoader:
 
         threads = [
             threading.Thread(target=worker, daemon=True)
-            for _ in range(self.num_workers)
+            for _ in range(workers)
         ]
         for t in threads:
             t.start()
@@ -249,9 +416,38 @@ class DetectionLoader:
             while next_pos in pending:
                 yield pending.pop(next_pos)
                 next_pos += 1
-        while next_pos in pending:
-            yield pending.pop(next_pos)
-            next_pos += 1
+
+
+def _mp_worker(loader, epoch, task_q, out_q, free_q, shm_names, slot_shape):
+    """Worker-process loop: grab a free shared-memory slot, decode +
+    augment + resize the batch's uint8 images into it, send the small
+    metadata through the queue. Blocking task gets until the stop
+    sentinel; errors travel back as a traceback string (exceptions may
+    not pickle)."""
+    import traceback
+    from multiprocessing import shared_memory
+
+    shms = [shared_memory.SharedMemory(name=n) for n in shm_names]
+    b, ch, cw, _ = slot_shape
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                return
+            pos, batch_spec = task
+            landscape = batch_spec[1]
+            slot = free_q.get()
+            shape = (b, ch, cw, 3) if landscape else (b, cw, ch, 3)
+            view = np.ndarray(shape, np.uint8, buffer=shms[slot].buf)
+            try:
+                meta = loader._make_batch_raw(batch_spec, epoch, view)
+                out_q.put((pos, slot, landscape, meta))
+            except Exception:
+                free_q.put(slot)
+                out_q.put((pos, -1, False, traceback.format_exc()))
+    finally:
+        for s in shms:
+            s.close()
 
 
 def _rescale(image, boxes, scale):

@@ -283,3 +283,34 @@ def test_photometric_distort_contract():
     np.testing.assert_array_equal(out1, out2)  # deterministic per seed
     assert not np.array_equal(out1, img)  # jitter actually applied
     assert not np.array_equal(out1, out3)  # seed-dependent
+
+
+def test_loader_process_workers_match_inline(voc_root):
+    """The shared-memory process pipeline must yield byte-identical
+    batches to the inline path, in the same order (this test box has 1
+    core, where the worker cap would disable processes — patch it)."""
+    from unittest import mock
+
+    recs = load_voc_records(voc_root, "trainval")
+
+    def make(nw):
+        return DetectionLoader(
+            recs,
+            TrainAugment(size=96, max_size=160),
+            batch_size=2,
+            size=96,
+            max_size=160,
+            num_workers=nw,
+            seed=11,
+        )
+
+    ref = list(make(0).epoch(0))
+    with mock.patch("os.cpu_count", return_value=4):
+        got = list(make(2).epoch(0))
+    assert len(ref) == len(got) and len(ref) > 0
+    for r, g in zip(ref, got):
+        assert set(r) == set(g)
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k
+            )
