@@ -75,13 +75,66 @@ def ref():
     tv_ops.RoIPool = _RoIPool
     tv.models = tv_models
     tv.ops = tv_ops
-    saved_modules = {
-        k: sys.modules.get(k)
-        for k in ("torchvision", "torchvision.models", "torchvision.ops")
-    }
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = tv_models
-    sys.modules["torchvision.ops"] = tv_ops
+
+    # Extra names needed to import models/new_model.py (FPN): classes /
+    # functions referenced at module level but unused by the target
+    # makers under test.
+    class _Opaque:
+        def __init__(self, *a, **k):
+            pass
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("torchvision backbone not available in tests")
+
+    tv_ops.MultiScaleRoIAlign = _Opaque
+    tv_det = types.ModuleType("torchvision.models.detection")
+    tv_il = types.ModuleType("torchvision.models.detection.image_list")
+    tv_il.ImageList = _Opaque
+    tv_bu = types.ModuleType("torchvision.models.detection.backbone_utils")
+    tv_bu.resnet_fpn_backbone = _unavailable
+    tv_det.image_list = tv_il
+    tv_det.backbone_utils = tv_bu
+    tv_models.detection = tv_det
+    tv_models.ResNet50_Weights = types.SimpleNamespace(
+        IMAGENET1K_V1="IMAGENET1K_V1"
+    )
+    tv_mu = types.ModuleType("torchvision.models._utils")
+    tv_mu.IntermediateLayerGetter = _Opaque
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+    tv_models._utils = tv_mu
+    tv_models.resnet = tv_resnet
+    tv_fpn = types.ModuleType("torchvision.ops.feature_pyramid_network")
+    tv_fpn.ExtraFPNBlock = _Opaque
+    tv_fpn.FeaturePyramidNetwork = _Opaque
+    tv_fpn.LastLevelMaxPool = _Opaque
+    tv_ops.feature_pyramid_network = tv_fpn
+    tv_boxes = types.ModuleType("torchvision.ops.boxes")
+
+    def _box_area(boxes):  # torchvision.ops.boxes.box_area semantics
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    tv_boxes.box_area = _box_area
+    tv_ops.boxes = tv_boxes
+
+    _stub_names = (
+        "torchvision",
+        "torchvision.models",
+        "torchvision.ops",
+        "torchvision.models.detection",
+        "torchvision.models.detection.image_list",
+        "torchvision.models.detection.backbone_utils",
+        "torchvision.models._utils",
+        "torchvision.models.resnet",
+        "torchvision.ops.feature_pyramid_network",
+        "torchvision.ops.boxes",
+    )
+    _stub_mods = (
+        tv, tv_models, tv_ops, tv_det, tv_il, tv_bu, tv_mu, tv_resnet,
+        tv_fpn, tv_boxes,
+    )
+    saved_modules = {k: sys.modules.get(k) for k in _stub_names}
+    for k, m in zip(_stub_names, _stub_mods):
+        sys.modules[k] = m
 
     # CPU tensors: .get_device() returns -1 and .to(-1) fails; the
     # reference uses both as "the device of x".
@@ -96,9 +149,14 @@ def ref():
         import utils.util as ref_util
         import losses.loss as ref_loss
         import models.model as ref_model
+        import models.new_model as ref_new_model
 
         yield types.SimpleNamespace(
-            anchor=ref_anchor, util=ref_util, loss=ref_loss, model=ref_model
+            anchor=ref_anchor,
+            util=ref_util,
+            loss=ref_loss,
+            model=ref_model,
+            new_model=ref_new_model,
         )
     finally:
         sys.path.remove(REFERENCE)
@@ -110,7 +168,8 @@ def ref():
             else:
                 sys.modules[k] = v
         for k in ("anchor", "utils", "utils.util", "losses", "losses.loss",
-                  "models", "models.model"):
+                  "models", "models.model", "models.new_model",
+                  "util", "util.box_ops"):
             sys.modules.pop(k, None)
 
 
@@ -472,3 +531,115 @@ def test_scheduler_restart_parity(first, mult, gamma, warm):
     )
     got = [float(sched(t)) for t in range(total)]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+# ----------------------------------------------- FPN RPNTargetMaker
+
+
+def test_fpn_rpn_target_maker_parity(ref):
+    """rpn_targets(allow_ties=True, boundary_filter=False) vs the FPN
+    RPNTargetMaker (models/new_model.py:299-349): no inside-image
+    filter, ALL anchors tied at a gt's max IoU go positive, quotas
+    128/256 — exercised in the no-subsampling regime."""
+    from faster_rcnn_pytorch_tpu.models.targets import rpn_targets
+
+    rs = np.random.RandomState(12)
+    anchors = _boxes(rs, 170)
+    out_anchors = _boxes(rs, 40) - 0.5  # FPN: NOT filtered, still labeled
+    anchors = np.concatenate([anchors, out_anchors]).astype(np.float32)
+    gt = _boxes(rs, 4)
+    # exact-duplicate anchors on one gt: the tie path must mark BOTH
+    anchors[:2] = gt[0]
+    # near-misses for the others so >= 0.7 positives exist
+    anchors[2:5] = gt[1:] + rs.normal(0, 0.005, (3, 4)).astype(np.float32)
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        want_cls, want_reg = ref.new_model.RPNTargetMaker()(
+            torch.from_numpy(gt), torch.from_numpy(anchors)
+        )
+    want_cls = want_cls.numpy()
+    want_reg = want_reg.numpy()
+    assert want_cls[0] == 1 and want_cls[1] == 1  # ties both positive
+    # no-subsampling regime on both sides
+    assert (want_cls == 1).sum() <= 128 and (want_cls >= 0).sum() <= 256
+
+    out = rpn_targets(
+        jnp.asarray(anchors),
+        jnp.asarray(gt),
+        jnp.ones(4, bool),
+        jnp.ones(2, jnp.float32),
+        jax.random.key(0),
+        pos_quota=128,
+        total_quota=256,
+        allow_ties=True,
+        boundary_filter=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out.labels), want_cls)
+    pos = want_cls == 1
+    np.testing.assert_allclose(
+        np.asarray(out.reg_targets)[pos], want_reg[pos], atol=1e-5
+    )
+
+
+# ---------------------------------------------- FPN FRCNNTargetMaker
+
+
+def test_fpn_frcnn_target_maker_parity(ref):
+    """Assignment semantics of the FPN FRCNNTargetMaker
+    (models/new_model.py:153-206): 512 samples / 128 pos quota, RAW
+    labels (no background shift), same 0.1/0.2 reg std — the reference's
+    random subsample validated triple-by-triple against our full
+    per-candidate assignment."""
+    from faster_rcnn_pytorch_tpu.models.targets import frcnn_targets
+
+    rs = np.random.RandomState(13)
+    gt = _boxes(rs, 4)
+    gt_labels = np.array([5, 23, 47, 88], np.int64)  # raw COCO-style ids
+    rois = _boxes(rs, 600)  # negatives must cover 512 - n_pos
+    rois[:10] = gt[rs.randint(0, 4, 10)] + rs.normal(0, 0.01, (10, 4)).astype(
+        np.float32
+    )
+    rois = np.clip(rois, 0, 1).astype(np.float32)
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        want_cls, want_reg, want_rois = ref.new_model.FRCNNTargetMaker()(
+            torch.from_numpy(gt),
+            torch.from_numpy(gt_labels),
+            torch.from_numpy(rois),
+        )
+    want_cls = want_cls.numpy()
+    want_reg = want_reg.numpy()
+    want_rois = want_rois.numpy()
+    assert len(want_rois) == 512
+    n_pos_ref = int((want_cls > 0).sum())
+    assert 0 < n_pos_ref <= 128
+
+    cand = np.concatenate([rois, gt])
+    out = frcnn_targets(
+        jnp.asarray(rois),
+        jnp.ones(len(rois), bool),
+        jnp.asarray(gt),
+        jnp.asarray(gt_labels.astype(np.int32)),
+        jnp.ones(4, bool),
+        jax.random.key(0),
+        num_samples=len(cand),
+        pos_quota=len(cand),
+        label_offset=0,  # FPN: raw ids, no background shift
+    )
+    ours = {}
+    got_rois = np.asarray(out.rois)
+    got_labels = np.asarray(out.labels)
+    got_reg = np.asarray(out.reg_targets)
+    got_valid = np.asarray(out.valid)
+    for i in range(len(cand)):
+        if got_valid[i]:
+            ours[tuple(np.round(got_rois[i], 6))] = (got_labels[i], got_reg[i])
+
+    for j in range(len(want_rois)):
+        key = tuple(np.round(want_rois[j], 6))
+        assert key in ours, f"reference sampled a roi we never assigned: {j}"
+        our_label, our_reg = ours[key]
+        assert our_label == want_cls[j], (j, our_label, want_cls[j])
+        if want_cls[j] > 0:
+            np.testing.assert_allclose(our_reg, want_reg[j], atol=1e-4)
