@@ -65,6 +65,7 @@ class Options:
     # config.py:44-48: one data axis over the ICI mesh)
     num_devices: int = 0  # 0 = all local devices
     model_parallel: int = 1  # tensor-parallel axis size (roi-head FCs)
+    remat_backbone: bool = False  # rematerialize backbone activations
     host_id: int = 0
     num_hosts: int = 1
     coordinator: str = ""  # multi-host jax.distributed coordinator addr

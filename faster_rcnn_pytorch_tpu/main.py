@@ -124,6 +124,7 @@ def main(argv=None) -> int:
     model, cfg = build_model(
         opts.model_generation, opts.num_classes, dtype,
         label_offset=label_offset_for(opts.model_generation, opts.data_type),
+        remat=opts.remat_backbone,
     )
 
     coco_index = None

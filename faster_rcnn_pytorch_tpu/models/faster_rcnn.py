@@ -99,9 +99,16 @@ class LegacyFRCNN(nn.Module):
 
     num_classes: int = 21
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
-        self.extractor = VGG16Features(dtype=self.dtype)
+        # nn.remat drops the backbone activations and recomputes them in
+        # the backward pass (param structure unchanged) — trades ~1 extra
+        # backbone forward for the largest activation footprint, enabling
+        # bigger per-chip batches. Reference has no equivalent (torch
+        # checkpointing unused there).
+        vgg = nn.remat(VGG16Features) if self.remat else VGG16Features
+        self.extractor = vgg(dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=9, channels=512, dtype=self.dtype)
         # Shared 4096-wide FC trunk; the reference aliases the same module
         # from both the model and the head (models/model.py:282-298).
@@ -158,9 +165,10 @@ class FPNFRCNN(nn.Module):
     num_classes: int = 91
     dtype: Any = jnp.bfloat16
     strides: tuple = (4, 8, 16, 32, 64)
+    remat: bool = False
 
     def setup(self):
-        self.backbone = ResNet50FPN(dtype=self.dtype)
+        self.backbone = ResNet50FPN(dtype=self.dtype, remat=self.remat)
         self.rpn = RPNHead(num_anchors=3, channels=256, dtype=self.dtype)
         self.fc6 = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)
         self.fc7 = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)
@@ -446,6 +454,7 @@ def build_model(
     num_classes: int | None = None,
     dtype=jnp.bfloat16,
     label_offset: int | None = None,
+    remat: bool = False,
 ):
     """Model + config factory (counterpart of models/build.py:7-19 minus
     the DDP wrap — parallelism is a sharding concern, see ``parallel``).
@@ -466,4 +475,4 @@ def build_model(
     if label_offset is not None:
         overrides["label_offset"] = label_offset
     cfg = dataclasses.replace(base, **overrides) if overrides else base
-    return model_cls(num_classes=cfg.num_classes, dtype=dtype), cfg
+    return model_cls(num_classes=cfg.num_classes, dtype=dtype, remat=remat), cfg

@@ -96,6 +96,7 @@ class ResNet50(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     frozen_stages: int = 2  # conv1 + layer1 (torchvision trainable_layers=3)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -117,11 +118,15 @@ class ResNet50(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         feats = []
+        # Per-bottleneck remat: each block's internal activations are
+        # recomputed in the backward pass; only block boundaries are
+        # saved. Param structure is unchanged (importer-compatible).
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, blocks in enumerate(self.stage_sizes):
             width = 64 * 2**stage
             for b in range(blocks):
                 strides = 2 if (b == 0 and stage > 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     width,
                     strides=strides,
                     dtype=self.dtype,
@@ -175,8 +180,9 @@ class ResNet50FPN(nn.Module):
     """Full backbone: image -> (P2, P3, P4, P5, P6)."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        feats = ResNet50(dtype=self.dtype, name="body")(x)
+        feats = ResNet50(dtype=self.dtype, remat=self.remat, name="body")(x)
         return FPN(dtype=self.dtype, name="fpn")(feats)

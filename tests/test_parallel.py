@@ -353,3 +353,47 @@ def test_roi_pool_batch_partitioned_over_mesh():
     np.testing.assert_allclose(
         np.asarray(got_df), np.asarray(want_df), atol=1e-5, rtol=1e-5
     )
+
+
+def test_remat_backbone_matches_no_remat():
+    """--remat_backbone must be numerics-transparent: same loss, same
+    gradients (recompute executes the identical ops), different only in
+    what the backward saves."""
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        forward_train,
+        init_detector_params,
+    )
+
+    rs = np.random.RandomState(7)
+    images, extents, boxes, labels, mask = tiny_batch(rs, 2)
+    args = (
+        jnp.asarray(images),
+        jnp.asarray(extents),
+        jnp.asarray(boxes),
+        jnp.asarray(labels),
+        jnp.asarray(mask),
+    )
+
+    outs = []
+    for remat in (False, True):
+        model, _ = build_model(
+            "legacy", num_classes=6, dtype=jnp.float32, remat=remat
+        )
+        params = init_detector_params(
+            model, jax.random.key(0), canvas=TINY_CANVAS
+        )
+
+        def loss_fn(p):
+            out = model.apply(
+                p, TINY_LEGACY, *args, jax.random.key(1),
+                method=forward_train,
+            )
+            return out.losses.total
+
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        outs.append((float(val), grads))
+
+    (v0, g0), (v1, g1) = outs
+    assert v0 == v1, (v0, v1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
