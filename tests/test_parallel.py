@@ -397,3 +397,61 @@ def test_remat_backbone_matches_no_remat():
     assert v0 == v1, (v0, v1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_remat_fpn_backbone_matches_no_remat():
+    """FPN generation: per-bottleneck remat (ResNet50 blocks recomputed
+    in the backward) must leave loss and gradients unchanged."""
+    import dataclasses as dc
+
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        FPN_CONFIG,
+        forward_train,
+        init_detector_params,
+    )
+
+    tiny_fpn = dc.replace(
+        FPN_CONFIG,
+        num_classes=6,
+        pre_nms_train=64,
+        post_nms_train=16,
+        pre_nms_test=32,
+        post_nms_test=8,
+        roi_samples=8,
+        roi_pos_quota=2,
+        max_detections=8,
+    )
+    rs = np.random.RandomState(9)
+    images, extents, boxes, labels, mask = tiny_batch(rs, 2)
+    args = (
+        jnp.asarray(images),
+        jnp.asarray(extents),
+        jnp.asarray(boxes),
+        jnp.asarray(labels),
+        jnp.asarray(mask),
+    )
+
+    outs = []
+    for remat in (False, True):
+        model, _ = build_model(
+            "fpn", num_classes=6, dtype=jnp.float32, remat=remat
+        )
+        params = init_detector_params(
+            model, jax.random.key(0), canvas=TINY_CANVAS
+        )
+
+        def loss_fn(p):
+            out = model.apply(
+                p, tiny_fpn, *args, jax.random.key(1),
+                method=forward_train,
+            )
+            return out.losses.total
+
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        outs.append((float(val), grads))
+
+    (v0, g0), (v1, g1) = outs
+    assert v0 == v1, (v0, v1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
