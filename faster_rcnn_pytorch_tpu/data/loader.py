@@ -350,7 +350,28 @@ class DetectionLoader:
             next_pos = 0
             received = 0
             while received < len(batches):
-                pos, slot, landscape, meta = out_q.get()
+                # Bounded get + liveness check: a worker killed without
+                # cleanup (OOM killer, native-decode segfault) can never
+                # send its result, and with all tasks pre-queued no other
+                # worker will re-run it — an unbounded get would hang the
+                # train loop forever (torch DataLoader raises here too).
+                while True:
+                    try:
+                        pos, slot, landscape, meta = out_q.get(timeout=5.0)
+                        break
+                    except queue.Empty:
+                        dead = [
+                            p.exitcode
+                            for p in procs
+                            if not p.is_alive() and p.exitcode not in (0, None)
+                        ]
+                        if dead:
+                            raise RuntimeError(
+                                "loader worker process(es) died with exit "
+                                f"code(s) {dead} — batch {next_pos} can "
+                                "never arrive (out of memory / native "
+                                "crash in decode?)"
+                            )
                 if isinstance(meta, str):  # worker traceback
                     raise RuntimeError(f"loader worker failed:\n{meta}")
                 # Finish (and free the slot) in ARRIVAL order so slot

@@ -314,3 +314,31 @@ def test_loader_process_workers_match_inline(voc_root):
             np.testing.assert_array_equal(
                 np.asarray(r[k]), np.asarray(g[k]), err_msg=k
             )
+
+
+def test_loader_worker_death_raises_not_hangs(voc_root):
+    """A worker killed without cleanup (OOM killer / native crash) can
+    never deliver its batch; the consumer's bounded get + liveness check
+    must surface a RuntimeError instead of blocking forever."""
+    import os
+    from unittest import mock
+
+    recs = load_voc_records(voc_root, "trainval")
+    loader = DetectionLoader(
+        recs,
+        TrainAugment(size=96, max_size=160),
+        batch_size=2,
+        size=96,
+        max_size=160,
+        num_workers=1,
+        seed=11,
+    )
+
+    def die(self, *a, **k):
+        os._exit(3)  # simulates SIGKILL: no exception, no queue put
+
+    with mock.patch("os.cpu_count", return_value=4), mock.patch.object(
+        DetectionLoader, "_make_batch_raw", die
+    ):
+        with pytest.raises(RuntimeError, match="died with exit"):
+            list(loader.epoch(0))
