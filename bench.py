@@ -225,6 +225,25 @@ def _run_row_subprocess(name: str, timeout_s: float):
     }
 
 
+def _devices_reachable(timeout_s: float) -> bool:
+    """Probe device init in a child: when the tunnelled runtime is down,
+    ``jax.devices()`` blocks inside the PJRT client — without this check
+    every row would eat its full row timeout (hours for a dead tunnel)."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     from faster_rcnn_pytorch_tpu.utils.compile_cache import enable as _enable_cache
 
@@ -239,6 +258,23 @@ def main() -> None:
     subproc = os.environ.get("FRT_BENCH_SUBPROC", "1") != "0"
     timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "1500"))
     names = list(ROWS) if full else ["legacy_predict_b4"]
+
+    probe_s = float(os.environ.get("FRT_BENCH_PROBE_TIMEOUT", "420"))
+    if subproc and not _devices_reachable(probe_s):
+        for name in names:
+            print(
+                json.dumps(
+                    {
+                        "metric": ROWS[name][1],
+                        "error": (
+                            "device runtime unreachable (init exceeded "
+                            f"{int(probe_s)}s) — tunnel down?"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+        return
     for name in names:
         if subproc:
             row = _run_row_subprocess(name, timeout_s)
