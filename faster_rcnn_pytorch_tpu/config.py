@@ -69,6 +69,9 @@ class Options:
     host_id: int = 0
     num_hosts: int = 1
     coordinator: str = ""  # multi-host jax.distributed coordinator addr
+    # serving export (python -m faster_rcnn_pytorch_tpu.export)
+    export_dir: str = "./export"
+    export_platforms: str = ""  # "" = current backend; e.g. "cpu,tpu"
     # numerics
     dtype: str = "bfloat16"
     # observability

@@ -1,0 +1,127 @@
+"""Serving-export CLI: checkpoint -> self-contained AOT artifacts.
+
+``python -m faster_rcnn_pytorch_tpu.export --config configs/voc_train.txt \
+      --test_epoch best --export_dir ./export``
+
+Exports the predict program for both canvas orientation buckets
+(landscape and portrait, the loader's two static shapes) at
+``--batch_size``, plus a ``manifest.json`` describing the calling
+convention. The reference has no counterpart — its deployment story is
+re-running model code in Python (demo.py:22-69); see ``serving.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+
+from faster_rcnn_pytorch_tpu.config import load_options
+from faster_rcnn_pytorch_tpu.main import init_params
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    build_model,
+    label_offset_for,
+)
+from faster_rcnn_pytorch_tpu.serving import (
+    artifact_name,
+    export_predict,
+    save_artifact,
+    write_manifest,
+)
+from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+)
+from faster_rcnn_pytorch_tpu.utils.logging import print0
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def main(argv=None) -> int:
+    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    opts = load_options(argv)
+
+    platforms = None
+    if opts.export_platforms:
+        platforms = tuple(
+            p.strip() for p in opts.export_platforms.split(",") if p.strip()
+        )
+        if len(platforms) > 1 or "cpu" in platforms:
+            # Portable artifacts need the pure-XLA op formulations:
+            # Pallas fast paths are traced for one backend only
+            # (serving.py cross-platform notes).
+            os.environ["FRT_ALIGN_KERNEL"] = "0"
+            os.environ["FRT_FORCE_LAX_OPS"] = "1"
+
+    dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
+    model, cfg = build_model(
+        opts.model_generation, opts.num_classes, dtype,
+        label_offset=label_offset_for(opts.model_generation, opts.data_type),
+    )
+
+    params = init_params(model, opts)  # fresh init or .pth.tar import
+    if opts.checkpoint.endswith(".ckpt"):
+        path = opts.checkpoint
+    elif not opts.checkpoint:
+        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
+    else:
+        path = None  # .pth.tar already imported by init_params
+    if path is not None:
+        try:
+            from faster_rcnn_pytorch_tpu.parallel.train_step import (
+                init_train_state,
+                make_lr_schedule,
+                make_optimizer,
+            )
+
+            sched = make_lr_schedule("constant", opts.lr, 1, 1)
+            opt = make_optimizer(params, sched)
+            state, meta = load_checkpoint(path, init_train_state(params, opt))
+            params = state.params
+            print0(f"loaded {path} (epoch {meta.get('epoch')})")
+        except FileNotFoundError:
+            if opts.checkpoint:
+                raise
+            print0(f"no checkpoint at {path}; exporting current params")
+
+    base = _round_up(opts.resize, 16)
+    cap = _round_up(opts.max_size, 16)
+    canvases = [(base, cap)]  # landscape
+    if cap != base:
+        canvases.append((cap, base))  # portrait
+
+    os.makedirs(opts.export_dir, exist_ok=True)
+    entries = []
+    for canvas in canvases:
+        exp = export_predict(
+            model, cfg, params, canvas, opts.batch_size,
+            score_threshold=opts.thres, platforms=platforms,
+        )
+        fname = artifact_name(canvas, opts.batch_size)
+        save_artifact(exp, os.path.join(opts.export_dir, fname))
+        size_mb = os.path.getsize(os.path.join(opts.export_dir, fname)) / 1e6
+        entries.append(
+            {
+                "file": fname,
+                "canvas_hw": list(canvas),
+                "batch": opts.batch_size,
+                "platforms": list(exp.platforms),
+            }
+        )
+        print0(
+            f"exported {fname} ({size_mb:.1f} MB, "
+            f"platforms={list(exp.platforms)})"
+        )
+
+    mpath = write_manifest(opts.export_dir, entries, opts)
+    print0(f"wrote {mpath}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Serving export (serving.py / export.py): AOT artifacts round-trip."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    LEGACY_CONFIG,
+    build_model,
+    init_detector_params,
+)
+from faster_rcnn_pytorch_tpu.serving import (
+    artifact_name,
+    export_predict,
+    load_artifact,
+    make_serving_fn,
+    save_artifact,
+)
+
+CANVAS = 64
+TINY = dataclasses.replace(
+    LEGACY_CONFIG,
+    num_classes=6,
+    pre_nms_train=64,
+    post_nms_train=16,
+    pre_nms_test=32,
+    post_nms_test=8,
+    roi_samples=8,
+    roi_pos_quota=2,
+    max_detections=8,
+)
+
+
+def _tiny_model_params():
+    model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
+    params = init_detector_params(model, jax.random.key(0), canvas=CANVAS)
+    return model, params
+
+
+def test_export_artifact_matches_direct_predict(tmp_path):
+    """Serialize -> load -> call must equal the live jitted predict
+    bit-for-bit (same program, params baked as constants)."""
+    model, params = _tiny_model_params()
+    rs = np.random.RandomState(3)
+    images = jnp.asarray(rs.normal(size=(2, CANVAS, CANVAS, 3)).astype(np.float32))
+    extents = jnp.asarray([[1.0, 1.0], [0.8, 0.9]], jnp.float32)
+
+    want = make_serving_fn(model, TINY, params)(images, extents)
+
+    exp = export_predict(model, TINY, params, (CANVAS, CANVAS), batch=2)
+    path = os.path.join(tmp_path, artifact_name((CANVAS, CANVAS), 2))
+    save_artifact(exp, path)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+    call = load_artifact(path)
+    got = call(images, extents)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert got.shape == (2, TINY.max_detections, 7)
+
+
+def test_export_rejects_wrong_shape(tmp_path):
+    """The artifact is shape-specialized: a wrong canvas must raise, not
+    silently mis-predict."""
+    model, params = _tiny_model_params()
+    exp = export_predict(model, TINY, params, (CANVAS, CANVAS), batch=1)
+    path = os.path.join(tmp_path, "a.jaxexp")
+    save_artifact(exp, path)
+    call = load_artifact(path)
+    bad = jnp.zeros((1, CANVAS, CANVAS + 16, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        call(bad, jnp.ones((1, 2), jnp.float32))
+
+
+@pytest.mark.slow
+def test_export_cli_writes_artifacts_and_manifest(tmp_path):
+    """CLI end-to-end: fresh params (no checkpoint on disk), both
+    orientation buckets exported, manifest describes them."""
+    from faster_rcnn_pytorch_tpu.export import main
+
+    out = os.path.join(tmp_path, "export")
+    rc = main(
+        [
+            "--data_type", "voc",
+            "--resize", "64",
+            "--max_size", "96",
+            "--batch_size", "1",
+            "--dtype", "float32",
+            "--log_dir", os.path.join(tmp_path, "logs"),
+            "--export_dir", out,
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["artifacts"]) == 2  # landscape + portrait
+    for e in manifest["artifacts"]:
+        p = os.path.join(out, e["file"])
+        assert os.path.getsize(p) > 0
+        call = load_artifact(p)
+        h, w = e["canvas_hw"]
+        packed = call(
+            jnp.zeros((1, h, w, 3), jnp.float32),
+            jnp.ones((1, 2), jnp.float32),
+        )
+        assert packed.shape[0] == 1 and packed.shape[2] == 7
+    assert manifest["num_classes"] == 21
