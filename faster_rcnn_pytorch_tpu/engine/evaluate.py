@@ -27,22 +27,14 @@ def _jitted_predict(model, cfg, score_threshold=None):
     # fetch, and fetching four arrays per image serialized ~5 round
     # trips/image (~220 ms/img eval floor); one packed fetch per batch
     # is one.
+    from faster_rcnn_pytorch_tpu.serving import pack_detections
+
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, images, extents):
-        import jax.numpy as jnp
-
         det = model.apply(
             params, cfg, images, extents, score_threshold, method=predict
         )
-        return jnp.concatenate(
-            [
-                det.boxes,
-                det.labels[..., None].astype(jnp.float32),
-                det.scores[..., None],
-                det.valid[..., None].astype(jnp.float32),
-            ],
-            axis=-1,
-        )
+        return pack_detections(det)
 
     return fn
 
