@@ -27,6 +27,7 @@ each host a disjoint slice per epoch — the DistributedSampler equivalent
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Iterator, Sequence
@@ -66,6 +67,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def canvas_buckets(
+    size: int, max_size: int, align: int = 16
+) -> list[tuple[int, int]]:
+    """The loader's static canvas shapes for a (resize, max_size) config:
+    landscape and (when distinct) portrait. Single source of truth shared
+    with the serving export — exported artifacts are shape-specialized
+    and must match the batches this module produces."""
+    base = _round_up(size, align)
+    cap = _round_up(max_size, align)
+    return [(base, cap)] if cap == base else [(base, cap), (cap, base)]
+
+
 class DetectionLoader:
     """Iterates fixed-shape batches over a list of :class:`Record`."""
 
@@ -99,10 +112,9 @@ class DetectionLoader:
         self.drop_last = drop_last
         self.seed = seed
         # Two static canvases: landscape and portrait.
-        base = _round_up(size, align)
-        cap = _round_up(max_size, align)
-        self.canvas_land = (base, cap)  # (h, w)
-        self.canvas_port = (cap, base)
+        buckets = canvas_buckets(size, max_size, align)
+        self.canvas_land = buckets[0]  # (h, w)
+        self.canvas_port = buckets[-1]
         self.records_by_id = {r.image_id: r for r in self.records}
 
     def __len__(self):
@@ -351,25 +363,38 @@ class DetectionLoader:
             received = 0
             while received < len(batches):
                 # Bounded get + liveness check: a worker killed without
-                # cleanup (OOM killer, native-decode segfault) can never
-                # send its result, and with all tasks pre-queued no other
-                # worker will re-run it — an unbounded get would hang the
+                # cleanup (OOM killer, native-decode segfault) takes any
+                # task it had claimed with it — with all tasks pre-queued
+                # nobody re-runs it, so an unbounded get would hang the
                 # train loop forever (torch DataLoader raises here too).
+                # A dead worker is only FATAL once nothing arrives for a
+                # while (survivors may still be delivering; a startup
+                # crash before claiming a task loses nothing) or once no
+                # worker is left alive.
+                stall = 0.0
+                fatal_stall = float(
+                    os.environ.get("FRT_LOADER_DEATH_TIMEOUT", "120")
+                )
                 while True:
                     try:
                         pos, slot, landscape, meta = out_q.get(timeout=5.0)
                         break
                     except queue.Empty:
+                        stall += 5.0
                         dead = [
                             p.exitcode
                             for p in procs
                             if not p.is_alive() and p.exitcode not in (0, None)
                         ]
-                        if dead:
+                        all_dead = dead and not any(
+                            p.is_alive() for p in procs
+                        )
+                        if dead and (all_dead or stall >= fatal_stall):
                             raise RuntimeError(
                                 "loader worker process(es) died with exit "
-                                f"code(s) {dead} — batch {next_pos} can "
-                                "never arrive (out of memory / native "
+                                f"code(s) {dead} and no batch arrived for "
+                                f"{stall:.0f}s — a claimed batch was "
+                                "likely lost (out of memory / native "
                                 "crash in decode?)"
                             )
                 if isinstance(meta, str):  # worker traceback

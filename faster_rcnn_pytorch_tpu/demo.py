@@ -17,10 +17,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
     build_model,
     label_offset_for,
 )
-from faster_rcnn_pytorch_tpu.utils.checkpoint import (
-    checkpoint_path,
-    load_checkpoint,
-)
+from faster_rcnn_pytorch_tpu.utils.checkpoint import resolve_and_load_params
 from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
@@ -42,22 +39,8 @@ def main(argv=None) -> int:
         label_offset=label_offset_for(opts.model_generation, opts.data_type),
     )
     params = init_params(model, opts)
-    if not opts.checkpoint:
-        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
-        try:
-            from faster_rcnn_pytorch_tpu.parallel.train_step import (
-                init_train_state,
-                make_lr_schedule,
-                make_optimizer,
-            )
-
-            sched = make_lr_schedule("constant", opts.lr, 1, 1)
-            opt = make_optimizer(params, sched)
-            state, _ = load_checkpoint(path, init_train_state(params, opt))
-            params = state.params
-            print0(f"loaded {path}")
-        except FileNotFoundError:
-            print0("no checkpoint found; demo with current params")
+    params, note = resolve_and_load_params(opts, params)
+    print0(note)
     demo(model, cfg, params, opts)
     return 0
 

@@ -17,7 +17,10 @@ import sys
 
 import jax.numpy as jnp
 
+import jax
+
 from faster_rcnn_pytorch_tpu.config import load_options
+from faster_rcnn_pytorch_tpu.data.loader import canvas_buckets
 from faster_rcnn_pytorch_tpu.main import init_params
 from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
     build_model,
@@ -29,15 +32,8 @@ from faster_rcnn_pytorch_tpu.serving import (
     save_artifact,
     write_manifest,
 )
-from faster_rcnn_pytorch_tpu.utils.checkpoint import (
-    checkpoint_path,
-    load_checkpoint,
-)
+from faster_rcnn_pytorch_tpu.utils.checkpoint import resolve_and_load_params
 from faster_rcnn_pytorch_tpu.utils.logging import print0
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def main(argv=None) -> int:
@@ -51,12 +47,23 @@ def main(argv=None) -> int:
         platforms = tuple(
             p.strip() for p in opts.export_platforms.split(",") if p.strip()
         )
-        if len(platforms) > 1 or "cpu" in platforms:
-            # Portable artifacts need the pure-XLA op formulations:
-            # Pallas fast paths are traced for one backend only
-            # (serving.py cross-platform notes).
+        if set(platforms) != {jax.default_backend()}:
+            # Any platform other than the one being traced needs the
+            # pure-XLA op formulations: Pallas fast paths embed
+            # backend-specific custom calls (serving.py cross-platform
+            # notes).
             os.environ["FRT_ALIGN_KERNEL"] = "0"
             os.environ["FRT_FORCE_LAX_OPS"] = "1"
+
+    # num_classes by data type, like the other CLIs (demo.py:150-153;
+    # the train/test CLIs get it from build_dataloader, which export
+    # deliberately does not need).
+    if opts.data_type == "voc":
+        opts.num_classes = 21
+    elif opts.model_generation == "legacy":
+        opts.num_classes = 81
+    else:
+        opts.num_classes = 91
 
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
     model, cfg = build_model(
@@ -65,35 +72,10 @@ def main(argv=None) -> int:
     )
 
     params = init_params(model, opts)  # fresh init or .pth.tar import
-    if opts.checkpoint.endswith(".ckpt"):
-        path = opts.checkpoint
-    elif not opts.checkpoint:
-        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
-    else:
-        path = None  # .pth.tar already imported by init_params
-    if path is not None:
-        try:
-            from faster_rcnn_pytorch_tpu.parallel.train_step import (
-                init_train_state,
-                make_lr_schedule,
-                make_optimizer,
-            )
+    params, note = resolve_and_load_params(opts, params)
+    print0(note)
 
-            sched = make_lr_schedule("constant", opts.lr, 1, 1)
-            opt = make_optimizer(params, sched)
-            state, meta = load_checkpoint(path, init_train_state(params, opt))
-            params = state.params
-            print0(f"loaded {path} (epoch {meta.get('epoch')})")
-        except FileNotFoundError:
-            if opts.checkpoint:
-                raise
-            print0(f"no checkpoint at {path}; exporting current params")
-
-    base = _round_up(opts.resize, 16)
-    cap = _round_up(opts.max_size, 16)
-    canvases = [(base, cap)]  # landscape
-    if cap != base:
-        canvases.append((cap, base))  # portrait
+    canvases = canvas_buckets(opts.resize, opts.max_size)
 
     os.makedirs(opts.export_dir, exist_ok=True)
     entries = []

@@ -125,7 +125,21 @@ def write_manifest(
     extra: dict | None = None,
 ) -> str:
     """``manifest.json`` describing the artifacts: calling convention,
-    canvas buckets, class metadata — everything a serving host needs."""
+    canvas buckets, class metadata — everything a serving host needs.
+
+    Merges with an existing manifest in ``out_dir`` (entries keyed by
+    file name): exporting extra batch sizes into the same directory must
+    not orphan the earlier artifacts.
+    """
+    prev_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f).get("artifacts", [])
+        except (OSError, ValueError):
+            prev = []
+        new_files = {e["file"] for e in entries}
+        entries = [e for e in prev if e.get("file") not in new_files] + entries
     manifest = {
         "format": "jax.export/stablehlo",
         "call": "(images [B,H,W,3] f32, extents [B,2] f32) -> [B,D,7] "

@@ -20,10 +20,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
     build_model,
     label_offset_for,
 )
-from faster_rcnn_pytorch_tpu.utils.checkpoint import (
-    checkpoint_path,
-    load_checkpoint,
-)
+from faster_rcnn_pytorch_tpu.utils.checkpoint import resolve_and_load_params
 from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
@@ -40,29 +37,8 @@ def main(argv=None) -> int:
     )
 
     params = init_params(model, opts)  # fresh init or .pth.tar import
-    if opts.checkpoint.endswith(".ckpt"):
-        path = opts.checkpoint  # explicit native checkpoint
-    elif not opts.checkpoint:
-        path = checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
-    else:
-        path = None  # .pth.tar already imported by init_params
-    if path is not None:
-        try:
-            from faster_rcnn_pytorch_tpu.parallel.train_step import (
-                init_train_state,
-                make_lr_schedule,
-                make_optimizer,
-            )
-
-            sched = make_lr_schedule("constant", opts.lr, 1, 1)
-            opt = make_optimizer(params, sched)
-            state, meta = load_checkpoint(path, init_train_state(params, opt))
-            params = state.params
-            print0(f"loaded {path} (epoch {meta.get('epoch')})")
-        except FileNotFoundError:
-            if opts.checkpoint:  # explicit path must exist
-                raise
-            print0(f"no checkpoint at {path}; evaluating current params")
+    params, note = resolve_and_load_params(opts, params)
+    print0(note)
 
     coco_index = None
     if opts.data_type == "coco":

@@ -142,6 +142,51 @@ def checkpoint_path(log_dir: str, name: str, epoch: int | str) -> str:
     return os.path.join(log_dir, name, "saves", f"{name}.{epoch}.ckpt")
 
 
+def resolve_and_load_params(opts, params):
+    """Shared eval/demo/export checkpoint resolution (one policy instead
+    of three diverging copies; counterpart of test.py:29-32 /
+    demo.py:30-33 checkpoint loads).
+
+    ``opts.checkpoint`` semantics:
+      * ``*.pth`` / ``*.pth.tar`` — torch import already performed by
+        ``main.init_params``; ``params`` is used as-is.
+      * ``*.ckpt`` (file or orbax dir) — explicit native checkpoint,
+        must exist.
+      * empty — the run's ``{log_dir}/{name}/saves/{name}.{epoch}.ckpt``;
+        missing is tolerated (fresh params, with a console note).
+      * anything else — error. Silently proceeding with random weights
+        (the old behavior for a typo'd path) is the worst failure mode
+        an eval/serving CLI can have.
+
+    Returns ``(params, source_note)``.
+    """
+    from faster_rcnn_pytorch_tpu.parallel.train_step import (
+        init_train_state,
+        make_lr_schedule,
+        make_optimizer,
+    )
+
+    ckpt = opts.checkpoint
+    if ckpt.endswith((".pth.tar", ".pth")):
+        return params, f"imported torch checkpoint {ckpt}"
+    if ckpt and not ckpt.endswith(".ckpt") and not os.path.isdir(ckpt):
+        raise ValueError(
+            f"--checkpoint {ckpt!r}: expected a .ckpt file, an orbax "
+            "checkpoint directory, or a torch .pth/.pth.tar"
+        )
+    path = ckpt or checkpoint_path(opts.log_dir, opts.name, opts.test_epoch)
+
+    sched = make_lr_schedule("constant", opts.lr, 1, 1)
+    opt = make_optimizer(params, sched)
+    try:
+        state, meta = load_checkpoint(path, init_train_state(params, opt))
+    except FileNotFoundError:
+        if ckpt:  # explicit path must exist
+            raise
+        return params, f"no checkpoint at {path}; using current params"
+    return state.params, f"loaded {path} (epoch {meta.get('epoch')})"
+
+
 # --------------------------------------------------------------- importer
 
 

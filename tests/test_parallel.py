@@ -394,7 +394,9 @@ def test_remat_backbone_matches_no_remat():
         outs.append((float(val), grads))
 
     (v0, g0), (v1, g1) = outs
-    assert v0 == v1, (v0, v1)
+    # Tight but not exact: two separately jitted programs; XLA may
+    # reorder loss-sum reductions under a different remat schedule.
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
@@ -452,6 +454,8 @@ def test_remat_fpn_backbone_matches_no_remat():
         outs.append((float(val), grads))
 
     (v0, g0), (v1, g1) = outs
-    assert v0 == v1, (v0, v1)
+    # Tight but not exact: two separately jitted programs; XLA may
+    # reorder loss-sum reductions under a different remat schedule.
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
