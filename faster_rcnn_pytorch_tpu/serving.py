@@ -118,6 +118,45 @@ def artifact_name(canvas_hw: tuple[int, int], batch: int) -> str:
     return f"predict_{canvas_hw[0]}x{canvas_hw[1]}_b{batch}.jaxexp"
 
 
+class ExportedDetector:
+    """Manifest-driven serving entry point: routes each request to the
+    artifact matching its ``(batch, canvas)`` bucket.
+
+    >>> det = ExportedDetector("./export")
+    >>> packed = det(images, extents)   # shapes pick the artifact
+
+    Artifacts load lazily on first use and are cached. ``buckets()``
+    lists the available ``(batch, (h, w))`` combinations.
+    """
+
+    def __init__(self, export_dir: str):
+        self.export_dir = export_dir
+        with open(os.path.join(export_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._index: dict[tuple[int, int, int], str] = {}
+        for e in self.manifest["artifacts"]:
+            h, w = e["canvas_hw"]
+            self._index[(int(e["batch"]), int(h), int(w))] = os.path.join(
+                export_dir, e["file"]
+            )
+        self._cache: dict[tuple[int, int, int], Callable] = {}
+
+    def buckets(self) -> list[tuple[int, tuple[int, int]]]:
+        return [(b, (h, w)) for (b, h, w) in sorted(self._index)]
+
+    def __call__(self, images: Array, extents: Array) -> Array:
+        b, h, w = int(images.shape[0]), int(images.shape[1]), int(images.shape[2])
+        key = (b, h, w)
+        if key not in self._index:
+            raise ValueError(
+                f"no artifact for batch={b} canvas={h}x{w}; available: "
+                f"{self.buckets()}"
+            )
+        if key not in self._cache:
+            self._cache[key] = load_artifact(self._index[key])
+        return self._cache[key](images, extents)
+
+
 def write_manifest(
     out_dir: str,
     entries: list[dict],

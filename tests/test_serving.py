@@ -76,6 +76,47 @@ def test_export_rejects_wrong_shape(tmp_path):
         call(bad, jnp.ones((1, 2), jnp.float32))
 
 
+def test_exported_detector_routes_by_shape(tmp_path):
+    """ExportedDetector picks the artifact matching the input bucket and
+    rejects unknown shapes."""
+    from faster_rcnn_pytorch_tpu.serving import ExportedDetector, write_manifest
+
+    model, params = _tiny_model_params()
+    entries = []
+    for canvas in [(CANVAS, CANVAS), (CANVAS, CANVAS + 16)]:
+        exp = export_predict(model, TINY, params, canvas, batch=1)
+        fname = artifact_name(canvas, 1)
+        save_artifact(exp, os.path.join(tmp_path, fname))
+        entries.append({"file": fname, "canvas_hw": list(canvas), "batch": 1})
+    write_manifest(str(tmp_path), entries)
+
+    det = ExportedDetector(str(tmp_path))
+    assert det.buckets() == [
+        (1, (CANVAS, CANVAS)),
+        (1, (CANVAS, CANVAS + 16)),
+    ]
+    ext = jnp.ones((1, 2), jnp.float32)
+    for canvas in [(CANVAS, CANVAS), (CANVAS, CANVAS + 16)]:
+        packed = det(jnp.zeros((1, *canvas, 3), jnp.float32), ext)
+        assert packed.shape == (1, TINY.max_detections, 7)
+    with pytest.raises(ValueError, match="no artifact"):
+        det(jnp.zeros((1, CANVAS + 32, CANVAS, 3), jnp.float32), ext)
+
+
+def test_manifest_merge_keeps_prior_entries(tmp_path):
+    """Re-exporting into the same directory must not orphan earlier
+    artifacts from the manifest."""
+    from faster_rcnn_pytorch_tpu.serving import write_manifest
+
+    write_manifest(str(tmp_path), [{"file": "a.jaxexp", "canvas_hw": [64, 64], "batch": 1}])
+    write_manifest(str(tmp_path), [{"file": "b.jaxexp", "canvas_hw": [64, 64], "batch": 8}])
+    # same file re-exported: replaced, not duplicated
+    write_manifest(str(tmp_path), [{"file": "a.jaxexp", "canvas_hw": [64, 64], "batch": 1}])
+    with open(os.path.join(tmp_path, "manifest.json")) as f:
+        arts = json.load(f)["artifacts"]
+    assert sorted(e["file"] for e in arts) == ["a.jaxexp", "b.jaxexp"]
+
+
 @pytest.mark.slow
 def test_export_cli_writes_artifacts_and_manifest(tmp_path):
     """CLI end-to-end: fresh params (no checkpoint on disk), both
