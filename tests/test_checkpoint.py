@@ -172,3 +172,52 @@ def test_orbax_async_save(tmp_path):
     loaded, meta = ck.load_checkpoint(path, state)
     assert meta["epoch"] == 5
     np.testing.assert_array_equal(np.asarray(loaded["w"]), 3.0)
+
+
+def test_resolve_and_load_params_policy(tmp_path):
+    """Shared CLI checkpoint-resolution policy: torch suffixes pass
+    through, bogus explicit paths error (never silently run random
+    weights), empty + missing tolerates, empty + present loads."""
+    from types import SimpleNamespace
+
+    params = {"params": {"w": jnp.zeros((3,), jnp.float32)}}
+
+    def opts(checkpoint="", **kw):
+        return SimpleNamespace(
+            checkpoint=checkpoint, log_dir=str(tmp_path), name="m",
+            test_epoch="best", lr=1e-3, **kw,
+        )
+
+    # torch import suffix: pass-through (import itself happened upstream)
+    got, note = ck.resolve_and_load_params(opts("w.pth.tar"), params)
+    assert got is params and "torch" in note
+
+    # bogus explicit path: hard error
+    with pytest.raises(ValueError, match="expected a .ckpt"):
+        ck.resolve_and_load_params(opts("weights.npz"), params)
+
+    # explicit .ckpt that doesn't exist: FileNotFoundError propagates
+    with pytest.raises(FileNotFoundError):
+        ck.resolve_and_load_params(opts(str(tmp_path / "no.ckpt")), params)
+
+    # empty + missing derived path: tolerated, params unchanged
+    got, note = ck.resolve_and_load_params(opts(), params)
+    assert got is params and "no checkpoint" in note
+
+    # empty + present derived path: loads it
+    from faster_rcnn_pytorch_tpu.parallel.train_step import (
+        init_train_state,
+        make_lr_schedule,
+        make_optimizer,
+    )
+
+    opt = make_optimizer(params, make_lr_schedule("constant", 1e-3, 1, 1))
+    state = init_train_state(
+        {"params": {"w": jnp.full((3,), 7.0)}}, opt
+    )
+    path = ck.checkpoint_path(str(tmp_path), "m", "best")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ck.save_checkpoint(path, state, metadata={"epoch": 2})
+    got, note = ck.resolve_and_load_params(opts(), params)
+    assert "epoch 2" in note
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 7.0)
