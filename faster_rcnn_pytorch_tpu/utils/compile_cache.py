@@ -13,12 +13,36 @@ across sessions and rounds, unlike ``/tmp``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _REPO = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-DEFAULT_DIR = os.path.join(_REPO, ".jax_cache")
+
+
+def host_fingerprint() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU AOT executables
+    are compiled for the build machine's features; loading them on a
+    host with a different feature set logs ``cpu_aot_loader`` errors and
+    'could lead to execution errors such as SIGILL'. The sandbox moves
+    between machines across sessions, so cache dirs are namespaced per
+    feature set — a mismatched host recompiles instead of loading
+    foreign-CPU code."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+DEFAULT_DIR = os.path.join(_REPO, f".jax_cache-{host_fingerprint()}")
 
 
 def enable(cache_dir: str | None = None) -> None:

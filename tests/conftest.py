@@ -19,7 +19,18 @@ if "xla_force_host_platform_device_count" not in _flags:
 # suite (slow tests included) fits a normal CI budget. The cache lives
 # inside the repo (gitignored) so it survives across sessions/rounds,
 # unlike /tmp.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_test_cache")
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from faster_rcnn_pytorch_tpu.utils.compile_cache import host_fingerprint  # noqa: E402
+
+# Namespaced per host CPU feature set: XLA:CPU AOT cache entries from a
+# different machine log SIGILL-risk errors when loaded (see
+# compile_cache.host_fingerprint) — recompiling is the safe miss.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".jax_test_cache-{host_fingerprint()}",
+)
 
 # The image ships a TPU platform plugin ("axon") that overrides the
 # JAX_PLATFORMS env var; an explicit config update after import wins.
