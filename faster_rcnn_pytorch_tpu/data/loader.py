@@ -36,7 +36,6 @@ import numpy as np
 from PIL import Image
 
 from faster_rcnn_pytorch_tpu.data.mosaic import load_mosaic
-from faster_rcnn_pytorch_tpu.data.transforms import normalize
 from faster_rcnn_pytorch_tpu.data.voc import Record
 
 _image_loader: Callable[[str], np.ndarray] | None = None
