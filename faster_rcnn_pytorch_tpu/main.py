@@ -84,7 +84,12 @@ def label_map_for(opts: Options, coco_index):
     if opts.data_type == "voc":
         return lambda l: l
     if opts.model_generation == "legacy":
-        return lambda l: coco_index.contiguous_to_cat[l]
+        # .get(-1): the model always has 80 foreground slots but a
+        # COCO-format dataset may carry fewer categories (custom data,
+        # tools/make_shapes_coco.py); slots without a category map to an
+        # id no gt has, so the evaluator (which walks cat_ids) never
+        # scores them.
+        return lambda l: coco_index.contiguous_to_cat.get(l, -1)
     return lambda l: l + 1  # fpn softmax index == raw COCO id
 
 

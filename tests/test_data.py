@@ -120,6 +120,53 @@ def test_coco_records_remap_and_filters(coco_root):
     assert index.cat_to_contiguous[90] == 3
 
 
+def test_label_map_tolerates_sparse_coco_categories(coco_root):
+    """legacy+COCO label map must not assume all 80 categories exist
+    (custom COCO-format datasets / tools/make_shapes_coco.py carry
+    fewer): model slots without a category map to -1, an id the
+    evaluator (which walks cat_ids) never scores."""
+    from faster_rcnn_pytorch_tpu.config import Options
+    from faster_rcnn_pytorch_tpu.main import label_map_for
+
+    index = CocoIndex(
+        os.path.join(coco_root, "annotations", "instances_val2017.json")
+    )
+    opts = Options(data_type="coco", model_generation="legacy")
+    label_map = label_map_for(opts, index)
+    # 4-category index: slots 0..3 map to the real ids, the rest to -1
+    table = [label_map(i) for i in range(80)]  # must not raise
+    assert table[:4] == [1, 3, 18, 90]
+    assert set(table[4:]) == {-1}
+    assert -1 not in index.cat_ids
+
+
+def test_make_shapes_coco_roundtrip(tmp_path):
+    """The COCO shapes generator writes a tree both load paths consume."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from make_shapes_coco import write_split
+    finally:
+        sys.path.pop(0)
+
+    ann = str(tmp_path / "annotations" / "instances_val2017.json")
+    write_split(str(tmp_path / "val2017"), ann, n=3, seed=0)
+    for contiguous in (True, False):
+        recs, index = load_coco_records(
+            str(tmp_path / "val2017"), ann, contiguous=contiguous
+        )
+        assert 1 <= len(recs) <= 3
+        labels = np.concatenate([r.labels for r in recs])
+        if contiguous:
+            assert set(labels) <= {0, 1, 2}
+        else:
+            assert set(labels) <= {18, 44, 62}
+        for r in recs:
+            assert os.path.exists(r.image_path)
+            assert (r.boxes[:, 2:] > r.boxes[:, :2]).all()
+
+
 def test_resize_min_side_caps_max():
     img = np.zeros((100, 400, 3), np.uint8)
     out, boxes = resize_min_side(img, np.array([[0, 0, 400, 100]], np.float32), 800)
