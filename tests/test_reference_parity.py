@@ -62,15 +62,55 @@ def ref():
     tv_models = types.ModuleType("torchvision.models")
     tv_ops = types.ModuleType("torchvision.ops")
 
-    def _no_vgg(*a, **k):  # only FRCNN.__init__ needs it; never built here
-        raise RuntimeError("vgg16 not available in tests")
+    def _vgg16(*a, **k):
+        """Seeded random-weight VGG16 with torchvision's exact `features`
+        layout (13 convs / 5 maxpools, cfg D) — enough for
+        FRCNN.__init__'s ``backbone.features[:-1]`` slice
+        (models/model.py:275-281). kaiming_normal keeps activation
+        magnitudes O(1) through the 13-layer stack so downstream scores
+        are spread, not near-tied."""
+        import torch.nn as nn
 
-    tv_models.vgg16 = _no_vgg
+        torch.manual_seed(11)
+        cfg_d = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                 512, 512, 512, "M", 512, 512, 512, "M"]
+        layers: list = []
+        in_ch = 3
+        for v in cfg_d:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                conv = nn.Conv2d(in_ch, v, 3, padding=1)
+                nn.init.kaiming_normal_(conv.weight, nonlinearity="relu")
+                nn.init.normal_(conv.bias, 0.0, 0.01)
+                layers.append(conv)
+                layers.append(nn.ReLU(inplace=True))
+                in_ch = v
+        return types.SimpleNamespace(features=nn.Sequential(*layers))
+
+    tv_models.vgg16 = _vgg16
     tv_ops.nms = _tv_nms
 
-    class _RoIPool:  # imported at model.py top level, unused in these tests
-        def __init__(self, *a, **k):
-            pass
+    class _RoIPool:
+        """torchvision.ops.RoIPool semantics via the numpy oracle shared
+        with test_roi_ops (rounded start/end, +1 extent, floor/ceil bin
+        edges, empty bins -> 0)."""
+
+        def __init__(self, output_size=(7, 7), spatial_scale=1.0):
+            self.out = output_size[0]
+            self.scale = spatial_scale
+
+        def __call__(self, features, rois_list):
+            from test_roi_ops import np_roi_pool
+
+            feat = features[0].permute(1, 2, 0).detach().numpy()  # HWC
+            rois = rois_list[0].detach().numpy()
+            pooled = np_roi_pool(feat, rois, self.scale, out=self.out)
+            return torch.from_numpy(
+                np.ascontiguousarray(
+                    pooled.transpose(0, 3, 1, 2).astype(np.float32)
+                )
+            )
 
     tv_ops.RoIPool = _RoIPool
     tv.models = tv_models
@@ -643,3 +683,148 @@ def test_fpn_frcnn_target_maker_parity(ref):
         assert our_label == want_cls[j], (j, our_label, want_cls[j])
         if want_cls[j] > 0:
             np.testing.assert_allclose(our_reg, want_reg[j], atol=1e-4)
+
+
+# -------------------------------------------- full-model predict parity
+
+
+@pytest.mark.slow
+def test_full_model_predict_parity(ref):
+    """END-TO-END oracle: the ACTUAL reference ``FRCNN.predict``
+    (models/model.py:346-402; seeded random weights, exact-semantics
+    RoIPool/NMS stubs) vs our ``predict`` after converting the
+    reference's state dict through the torch importer. Proves the
+    converter + backbone + RPN + propose + head + suppress COMPOSE into
+    the same detector — module-level parity can't catch wiring mistakes
+    (wrong coordinate space between stages, mis-threaded budgets).
+
+    fp32 drift through 13 conv layers shifts scores by ~1e-4, which can
+    flip near-tied NMS/threshold decisions; the comparison is therefore
+    set-based with small tolerances rather than elementwise.
+    """
+    import dataclasses
+    from types import SimpleNamespace
+
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        build_model,
+        predict,
+    )
+    from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+        import_legacy_torch_params,
+    )
+
+    size = 320
+    torch.manual_seed(5)
+    with contextlib.redirect_stdout(io.StringIO()):
+        m = ref.model.FRCNN(num_classes=21).eval()
+    # Spread the head scores: the reference's sigma=0.01 cls_head on
+    # O(1) activations yields near-uniform softmax (every score ~1/21 ~
+    # the 0.05 threshold) and the comparison would ride on ties.
+    ref.model.normal_init(m.fast_rcnn_head.cls_head, 0, 0.05)
+    ref.model.normal_init(m.fast_rcnn_head.reg_head, 0, 0.02)
+
+    rs = np.random.RandomState(7)
+    img = rs.normal(size=(1, 3, size, size)).astype(np.float32)
+    opts = SimpleNamespace(thres=0.05)
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        ref_boxes, ref_labels, ref_scores = m.predict(
+            torch.from_numpy(img), opts
+        )
+
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params = import_legacy_torch_params(sd, num_classes=21)
+    model, cfg = build_model("legacy", 21, dtype=jnp.float32)
+    # Uncapped VOC-style budget (the reference _suppress has no cap).
+    cfg = dataclasses.replace(
+        cfg, max_detections=cfg.post_nms_test * (cfg.num_classes - 1)
+    )
+
+    images = jnp.asarray(img.transpose(0, 2, 3, 1))
+    extents = jnp.ones((1, 2), jnp.float32)
+
+    # 1) conv stack + converter: extractor features match tightly.
+    feats = np.asarray(
+        jax.jit(lambda p, x: model.apply(p, x, method="features"))(
+            params, images
+        )
+    )
+    want = (
+        m.extractor(torch.from_numpy(img)).detach().numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    assert feats.shape == want.shape
+    drift = np.abs(feats - want).max()
+    assert drift < 1e-3 * max(1.0, np.abs(want).max()), drift
+
+    # 2) full predict: set-match detections.
+    det = jax.jit(
+        lambda p, x, e: model.apply(
+            p, cfg, x, e, opts.thres, method=predict
+        )
+    )(params, images, extents)
+    our_valid = np.asarray(det.valid[0])
+    ours = {
+        "boxes": np.asarray(det.boxes[0])[our_valid],
+        "labels": np.asarray(det.labels[0])[our_valid],
+        "scores": np.asarray(det.scores[0])[our_valid],
+    }
+    theirs = {
+        "boxes": np.asarray(ref_boxes, np.float64),
+        "labels": np.asarray(ref_labels, np.int64),
+        "scores": np.asarray(ref_scores, np.float64),
+    }
+
+    # The test must be non-vacuous.
+    assert len(theirs["scores"]) >= 20, len(theirs["scores"])
+
+    def subset(d, margin):
+        keep = d["scores"] > opts.thres + margin
+        return {k: v[keep] for k, v in d.items()}
+
+    def greedy_match(a, b, iou_min=0.9, score_atol=5e-3):
+        """Score-descending greedy matching; same label, IoU>iou_min,
+        close score."""
+        used = np.zeros(len(b["scores"]), bool)
+        matched = 0
+        for i in np.argsort(-a["scores"], kind="stable"):
+            cand = np.where(
+                (b["labels"] == a["labels"][i])
+                & ~used
+                & (np.abs(b["scores"] - a["scores"][i]) < score_atol)
+            )[0]
+            if not len(cand):
+                continue
+            bx = a["boxes"][i]
+            cb = b["boxes"][cand]
+            x1 = np.maximum(bx[0], cb[:, 0])
+            y1 = np.maximum(bx[1], cb[:, 1])
+            x2 = np.minimum(bx[2], cb[:, 2])
+            y2 = np.minimum(bx[3], cb[:, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            area_a = (bx[2] - bx[0]) * (bx[3] - bx[1])
+            area_b = (cb[:, 2] - cb[:, 0]) * (cb[:, 3] - cb[:, 1])
+            iou = inter / np.maximum(area_a + area_b - inter, 1e-12)
+            ok = cand[iou > iou_min]
+            if len(ok):
+                used[ok[0]] = True
+                matched += 1
+        return matched
+
+    # Away from the threshold boundary, the sets must agree near-fully.
+    a = subset(theirs, margin=0.01)
+    b = subset(ours, margin=0.01)
+    n_match = greedy_match(a, b)
+    assert n_match >= 0.9 * len(a["scores"]), (n_match, len(a["scores"]))
+    assert n_match >= 0.9 * len(b["scores"]), (n_match, len(b["scores"]))
+
+    # The top of the ranking matches exactly (labels, tight box/score).
+    top = min(10, len(a["scores"]), len(b["scores"]))
+    oa = np.argsort(-a["scores"], kind="stable")[:top]
+    ob = np.argsort(-b["scores"], kind="stable")[:top]
+    np.testing.assert_array_equal(a["labels"][oa], b["labels"][ob])
+    np.testing.assert_allclose(
+        a["scores"][oa], b["scores"][ob], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        a["boxes"][oa], b["boxes"][ob], atol=2e-3
+    )
