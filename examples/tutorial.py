@@ -8,11 +8,16 @@ one image and draw the detections.
     python examples/tutorial.py [image.jpg] [checkpoint]
 """
 
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Runnable without installation: `python examples/tutorial.py` puts
+# examples/ (not the repo root) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from faster_rcnn_pytorch_tpu.data.loader import load_image
 from faster_rcnn_pytorch_tpu.data.transforms import normalize, resize_min_side
