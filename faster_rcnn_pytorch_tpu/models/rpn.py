@@ -15,6 +15,7 @@ every dynamic step with a static one:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import flax.linen as nn
@@ -69,6 +70,14 @@ class RPNHead(nn.Module):
         return cls, reg
 
 
+def _level_topk_enabled() -> bool:
+    """Opt-in switch for the per-level top-k decomposition in
+    :func:`propose` (``FRT_LEVEL_TOPK=1``). Output-exact either way
+    (tested); default stays off until the on-chip microbench
+    (tools/microbench_propose.py) shows a win on TPU."""
+    return os.environ.get("FRT_LEVEL_TOPK", "0") == "1"
+
+
 class Proposals(NamedTuple):
     rois: Array  # [post_k, 4] xyxy in [0,1] canvas coords
     valid: Array  # [post_k] bool
@@ -85,6 +94,7 @@ def propose(
     nms_iou: float = 0.7,
     min_size: float = 1.0 / 1000.0,
     nms_tile: int = 512,
+    level_sizes: tuple[int, ...] | None = None,
 ) -> Proposals:
     """Select ``post_k`` proposals from per-anchor RPN predictions.
 
@@ -129,6 +139,28 @@ def propose(
         sorted_boxes = jnp.stack(
             [bx1[:k], by1[:k], bx2[:k], by2[:k]], axis=-1
         )
+    elif level_sizes is not None and _level_topk_enabled():
+        # Exact hierarchical decomposition of the global top-k: each
+        # pyramid level contributes at most k candidates, so
+        # top_k(concat(levels), k) == top_k(concat(top_k(level, k)), k)
+        # — including tie order, because lax.top_k breaks ties by lower
+        # index and the candidate concatenation preserves both the
+        # within-level index order of equal scores and the level order.
+        # Shrinks the sort/gather operand from ~159k (800x1344 canvas)
+        # to sum(min(k, n_l)) ~= 2k-10k rows.
+        assert sum(level_sizes) == n, (level_sizes, n)
+        cand_scores, cand_boxes = [], []
+        off = 0
+        for n_l in level_sizes:
+            k_l = min(k, n_l)
+            s_l, idx_l = jax.lax.top_k(score[off : off + n_l], k_l)
+            cand_scores.append(s_l)
+            cand_boxes.append(boxes[off : off + n_l][idx_l])
+            off += n_l
+        cs = jnp.concatenate(cand_scores)
+        cb = jnp.concatenate(cand_boxes, axis=0)
+        sorted_scores, top_idx = jax.lax.top_k(cs, min(k, cs.shape[0]))
+        sorted_boxes = cb[top_idx]
     else:
         sorted_scores, top_idx = jax.lax.top_k(score, k)
         sorted_boxes = boxes[top_idx]
