@@ -132,6 +132,27 @@ def main(argv=None) -> int:
         remat=opts.remat_backbone,
     )
 
+    # Preflight: with the legacy boundary filter on, anchors crossing
+    # the image extent are untrainable (targets.py). At small resize
+    # the 128-512px legacy anchors can leave <1% eligible — the RPN
+    # classifier then pins at ln2 and nothing converges. Warn at launch
+    # instead of five epochs in.
+    if cfg.rpn_boundary_filter:
+        from faster_rcnn_pytorch_tpu.models.anchors import inside_fraction
+
+        for ch, cw in {train_loader.canvas_land, train_loader.canvas_port}:
+            anc = model.canvas_anchors(ch, cw)
+            ext = (min(opts.resize / cw, 1.0), min(opts.resize / ch, 1.0))
+            frac = inside_fraction(anc, ext)
+            if frac < 0.01:
+                print0(
+                    f"WARNING: only {frac:.2%} of RPN anchors fit inside a "
+                    f"square image's extent on the {ch}x{cw} canvas — the "
+                    "boundary filter will leave the RPN nearly untrainable. "
+                    "The legacy generation's anchors are 128-512px: raise "
+                    "--resize to >=320 or use --model_generation fpn."
+                )
+
     coco_index = None
     if opts.data_type == "coco":
         import os

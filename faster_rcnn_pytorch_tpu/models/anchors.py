@@ -136,6 +136,28 @@ def fpn_level_sizes(
     )
 
 
+def inside_fraction(
+    anchors: np.ndarray, extent: tuple[float, float]
+) -> float:
+    """Fraction of anchors lying fully inside an ``(ex, ey)`` extent.
+
+    This is exactly the eligibility predicate of the RPN boundary
+    filter (targets.py, parity with models/model.py's
+    ``inside_index``): an anchor that crosses the image extent is
+    excluded from both label assignment and sampling. On small
+    canvases the 128-512px legacy anchors can leave almost nothing
+    trainable — main.py uses this as a preflight diagnostic.
+    """
+    ex, ey = float(extent[0]), float(extent[1])
+    inside = (
+        (anchors[:, 0] >= 0.0)
+        & (anchors[:, 1] >= 0.0)
+        & (anchors[:, 2] <= ex)
+        & (anchors[:, 3] <= ey)
+    )
+    return float(inside.mean()) if len(anchors) else 0.0
+
+
 def num_legacy_anchors(height: int, width: int, base_size: int = 16) -> int:
     return (height // base_size) * (width // base_size) * 9
 

@@ -65,3 +65,30 @@ def test_anchors_cached():
     a1 = A.legacy_anchors(800, 800)
     a2 = A.legacy_anchors(800, 800)
     assert a1 is a2
+
+
+def test_inside_fraction_small_canvas_starves_legacy():
+    # The diagnosed shapes-COCO failure mode: at a 160x256 canvas with a
+    # square image (extent 0.625 x 1.0), 128-512px legacy anchors are
+    # almost all boundary-filtered -> main.py preflight must warn.
+    anc = A.legacy_anchors(160, 256)
+    starved = A.inside_fraction(anc, (160 / 256, 1.0))
+    assert starved < 0.01
+    # The proven 320px recipe keeps a healthy eligible pool.
+    anc = A.legacy_anchors(320, 512)
+    assert A.inside_fraction(anc, (320 / 512, 1.0)) > 0.02
+    # FPN's 32px anchors are fine even on the small canvas.
+    fanc = A.fpn_anchors(160, 256)
+    assert A.inside_fraction(fanc, (160 / 256, 1.0)) > 0.10
+
+
+def test_inside_fraction_matches_boundary_predicate():
+    anc = A.legacy_anchors(320, 512)
+    ex, ey = 0.7, 0.9
+    inside = (
+        (anc[:, 0] >= 0)
+        & (anc[:, 1] >= 0)
+        & (anc[:, 2] <= ex)
+        & (anc[:, 3] <= ey)
+    )
+    assert A.inside_fraction(anc, (ex, ey)) == inside.mean()
