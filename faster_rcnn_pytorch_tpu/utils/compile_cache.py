@@ -30,11 +30,26 @@ def host_fingerprint() -> str:
     feature set — a mismatched host recompiles instead of loading
     foreign-CPU code."""
     try:
+        parts: list[str] = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+                key = line.split(":", 1)[0].strip()
+                # Flags alone are not enough: XLA:CPU AOT entries embed
+                # LLVM *tuning* features (+prefer-no-scatter/gather ...)
+                # chosen from the CPU model, so two hosts with identical
+                # flag sets but different models still mismatch. Include
+                # the model identity lines.
+                if key in ("vendor_id", "cpu family", "model", "stepping",
+                           "model name"):
+                    parts.append(line.strip())
+                elif key == "flags":
+                    parts.append(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                    )
+                if len(parts) >= 6:
+                    break
+        if parts:
+            return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
