@@ -72,6 +72,7 @@ class Options:
     # serving export (python -m faster_rcnn_pytorch_tpu.export)
     export_dir: str = "./export"
     export_platforms: str = ""  # "" = current backend; e.g. "cpu,tpu"
+    export_torch: str = ""  # write a reference-layout .pth.tar instead
     # numerics
     dtype: str = "bfloat16"
     # observability

@@ -75,6 +75,21 @@ def main(argv=None) -> int:
     params, note = resolve_and_load_params(opts, params)
     print0(note)
 
+    if opts.export_torch:
+        # Reverse-migration mode: write a reference-format .pth.tar
+        # (train.py:78-85 blob) instead of AOT serving artifacts, so a
+        # TPU-trained model can be loaded by the reference ecosystem.
+        from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+            save_torch_checkpoint,
+        )
+
+        save_torch_checkpoint(
+            opts.export_torch, params, opts.model_generation
+        )
+        size_mb = os.path.getsize(opts.export_torch) / 1e6
+        print0(f"wrote torch checkpoint {opts.export_torch} ({size_mb:.1f} MB)")
+        return 0
+
     canvases = canvas_buckets(opts.resize, opts.max_size)
 
     os.makedirs(opts.export_dir, exist_ok=True)

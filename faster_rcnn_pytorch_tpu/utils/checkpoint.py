@@ -1,4 +1,4 @@
-"""Checkpoint save / resume + one-way PyTorch checkpoint importer.
+"""Checkpoint save / resume + bidirectional PyTorch checkpoint migration.
 
 Counterpart of the reference checkpoint flow (SURVEY.md §2.30): per-epoch
 ``{epoch, model, optimizer, scheduler}`` dicts at
@@ -21,6 +21,11 @@ parity (BASELINE.md north star). Layout conversions handled:
 * the legacy checkpoint stores the shared classifier twice (aliased as
   ``classifier.*`` and ``fast_rcnn_head.classifier.*``,
   models/model.py:282-298) — both map to the single fc6/fc7 here.
+
+The exporters at the bottom invert every conversion, producing
+reference-layout state dicts (``export_*_torch_state_dict``) and
+reference-format ``.pth.tar`` blobs (``save_torch_checkpoint``) so a
+model trained on TPU can be handed back to the torch ecosystem.
 """
 
 from __future__ import annotations
@@ -369,6 +374,153 @@ def _bn(sd: dict, prefix: str) -> dict:
         "mean": _t(sd[f"{prefix}.running_mean"]),
         "var": _t(sd[f"{prefix}.running_var"]),
     }
+
+
+# --------------------------------------------------------------- exporter
+#
+# Inverse direction: this framework's params -> a reference-layout torch
+# state dict, so models trained here can be loaded by the reference
+# (models/model.py:275-298 legacy, models/new_model.py:365-385 FPN) or by
+# any tool in its ecosystem. Together with the importer above this makes
+# checkpoint migration bidirectional (MIGRATION.md).
+
+
+def _conv_back(w) -> np.ndarray:  # HWIO -> OIHW
+    return _t(w).transpose(3, 2, 0, 1)
+
+
+def _linear_back(w) -> np.ndarray:  # [in, out] -> [out, in]
+    return _t(w).transpose(1, 0)
+
+
+def _linear_to_pool(w, ch: int, pool: int = 7) -> np.ndarray:
+    """Inverse of :func:`_linear_from_pool`: ours over a flattened
+    (p, p, C) pool -> torch FC over flattened (C, p, p)."""
+    out_dim = w.shape[1]
+    w = _t(w).reshape(pool, pool, ch, out_dim)
+    w = w.transpose(3, 2, 0, 1)  # (out, C, p, p)
+    return np.ascontiguousarray(w.reshape(out_dim, ch * pool * pool))
+
+
+def _params_root(params: dict) -> dict:
+    return params["params"] if "params" in params else params
+
+
+def _bn_back(sd: dict, prefix: str, bn: dict) -> None:
+    sd[f"{prefix}.weight"] = _t(bn["scale"])
+    sd[f"{prefix}.bias"] = _t(bn["bias"])
+    sd[f"{prefix}.running_mean"] = _t(bn["mean"])
+    sd[f"{prefix}.running_var"] = _t(bn["var"])
+    # torch BatchNorm registers this buffer; strict load needs it.
+    sd[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_legacy_torch_state_dict(params: dict) -> dict:
+    """LegacyFRCNN flax params -> the reference legacy model's state-dict
+    layout (inverse of :func:`import_legacy_torch_params`).
+
+    The reference registers the shared VGG classifier twice
+    (``classifier.*`` and ``fast_rcnn_head.classifier.*``,
+    models/model.py:282-298), so both aliases are emitted — the output
+    loads with ``strict=True``.
+    """
+    from faster_rcnn_pytorch_tpu.models.vgg import TORCH_VGG16_CONV_INDICES
+
+    p = _params_root(params)
+    sd: dict[str, np.ndarray] = {}
+    for k, torch_idx in enumerate(TORCH_VGG16_CONV_INDICES):
+        c = p["extractor"][f"conv{k}"]
+        sd[f"extractor.{torch_idx}.weight"] = _conv_back(c["kernel"])
+        sd[f"extractor.{torch_idx}.bias"] = _t(c["bias"])
+    for ours, theirs in (("inter", "inter_layer"), ("cls", "cls_layer"), ("reg", "reg_layer")):
+        sd[f"rpn.{theirs}.weight"] = _conv_back(p["rpn"][ours]["kernel"])
+        sd[f"rpn.{theirs}.bias"] = _t(p["rpn"][ours]["bias"])
+    fc6_w = _linear_to_pool(p["fc6"]["kernel"], ch=512)
+    fc6_b = _t(p["fc6"]["bias"])
+    fc7_w = _linear_back(p["fc7"]["kernel"])
+    fc7_b = _t(p["fc7"]["bias"])
+    for prefix in ("classifier", "fast_rcnn_head.classifier"):
+        sd[f"{prefix}.0.weight"] = fc6_w
+        sd[f"{prefix}.0.bias"] = fc6_b
+        sd[f"{prefix}.2.weight"] = fc7_w
+        sd[f"{prefix}.2.bias"] = fc7_b
+    for head in ("cls_head", "reg_head"):
+        sd[f"fast_rcnn_head.{head}.weight"] = _linear_back(p[head]["kernel"])
+        sd[f"fast_rcnn_head.{head}.bias"] = _t(p[head]["bias"])
+    return sd
+
+
+def export_fpn_torch_state_dict(params: dict) -> dict:
+    """FPNFRCNN flax params -> the reference FPN model's state-dict
+    layout (inverse of :func:`import_fpn_torch_params`), frozen-BN
+    statistics included."""
+    p = _params_root(params)
+    body = p["backbone"]["body"]
+    sd: dict[str, np.ndarray] = {
+        "backbone.body.conv1.weight": _conv_back(body["conv1"]["kernel"]),
+    }
+    _bn_back(sd, "backbone.body.bn1", body["bn1"])
+    for stage, blocks in enumerate((3, 4, 6, 3)):
+        for b in range(blocks):
+            blk = body[f"layer{stage + 1}_{b}"]
+            t = f"backbone.body.layer{stage + 1}.{b}"
+            for ci in (1, 2, 3):
+                sd[f"{t}.conv{ci}.weight"] = _conv_back(blk[f"conv{ci}"]["kernel"])
+                _bn_back(sd, f"{t}.bn{ci}", blk[f"bn{ci}"])
+            if "down_conv" in blk:
+                sd[f"{t}.downsample.0.weight"] = _conv_back(blk["down_conv"]["kernel"])
+                _bn_back(sd, f"{t}.downsample.1", blk["down_bn"])
+    fpn = p["backbone"]["fpn"]
+    for i in range(4):
+        sd[f"backbone.fpn.inner_blocks.{i}.0.weight"] = _conv_back(fpn[f"lateral{i}"]["kernel"])
+        sd[f"backbone.fpn.inner_blocks.{i}.0.bias"] = _t(fpn[f"lateral{i}"]["bias"])
+        sd[f"backbone.fpn.layer_blocks.{i}.0.weight"] = _conv_back(fpn[f"output{i}"]["kernel"])
+        sd[f"backbone.fpn.layer_blocks.{i}.0.bias"] = _t(fpn[f"output{i}"]["bias"])
+    for ours, theirs in (("inter", "inter_layer"), ("cls", "cls_layer"), ("reg", "reg_layer")):
+        sd[f"rpn.rpn_head.{theirs}.weight"] = _conv_back(p["rpn"][ours]["kernel"])
+        sd[f"rpn.rpn_head.{theirs}.bias"] = _t(p["rpn"][ours]["bias"])
+    # The FPN generation shares the roi classifier the same way the
+    # legacy one does (new_model.py:373-385 passes self.classifier into
+    # FRCNNHead), so it too appears twice in the state dict.
+    for prefix in ("classifier", "frcnn_head.classifier"):
+        sd[f"{prefix}.0.weight"] = _linear_to_pool(p["fc6"]["kernel"], ch=256)
+        sd[f"{prefix}.0.bias"] = _t(p["fc6"]["bias"])
+        sd[f"{prefix}.2.weight"] = _linear_back(p["fc7"]["kernel"])
+        sd[f"{prefix}.2.bias"] = _t(p["fc7"]["bias"])
+    for head in ("cls_head", "reg_head"):
+        sd[f"frcnn_head.{head}.weight"] = _linear_back(p[head]["kernel"])
+        sd[f"frcnn_head.{head}.bias"] = _t(p[head]["bias"])
+    return sd
+
+
+def export_torch_state_dict(params: dict, generation: str) -> dict:
+    if generation == "legacy":
+        return export_legacy_torch_state_dict(params)
+    if generation == "fpn":
+        return export_fpn_torch_state_dict(params)
+    raise ValueError(f"unknown generation: {generation!r}")
+
+
+def save_torch_checkpoint(path: str, params: dict, generation: str, epoch: int = 0) -> None:
+    """Write a reference-format ``.pth.tar`` (the exact blob
+    train.py:78-85 writes: ``{'epoch', 'model_state_dict', ...}``) from
+    this framework's params, loadable by the reference's resume path
+    (utils/util.py:142-155 reads ``model_state_dict``)."""
+    import torch
+
+    sd = export_torch_state_dict(params, generation)
+    blob = {
+        "epoch": epoch,
+        # copy=True: exported leaves can be read-only jax-array views,
+        # which torch.from_numpy rejects as non-writable.
+        "model_state_dict": {
+            k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()
+        },
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    torch.save(blob, tmp)
+    os.replace(tmp, path)
 
 
 def import_fpn_torch_params(sd: dict, num_classes: int) -> dict:

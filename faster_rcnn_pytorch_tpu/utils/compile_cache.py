@@ -29,25 +29,32 @@ def host_fingerprint() -> str:
     between machines across sessions, so cache dirs are namespaced per
     feature set — a mismatched host recompiles instead of loading
     foreign-CPU code."""
+    # Flags + model identity alone are not enough: two sandbox VMs have
+    # exposed byte-identical vendor/family/model/stepping/flags yet
+    # produced AOT entries differing in LLVM *tuning* features
+    # (+prefer-no-scatter/gather — chosen from microcode-level gather/
+    # scatter behavior, not the model id). Hash the whole first-CPU
+    # cpuinfo block (microcode + bugs lines included), dropping only
+    # per-boot/per-core volatile fields.
+    volatile = {
+        "processor", "cpu mhz", "bogomips", "apicid", "initial apicid",
+        "core id", "cpu cores", "siblings", "physical id",
+    }
     try:
         parts: list[str] = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                key = line.split(":", 1)[0].strip()
-                # Flags alone are not enough: XLA:CPU AOT entries embed
-                # LLVM *tuning* features (+prefer-no-scatter/gather ...)
-                # chosen from the CPU model, so two hosts with identical
-                # flag sets but different models still mismatch. Include
-                # the model identity lines.
-                if key in ("vendor_id", "cpu family", "model", "stepping",
-                           "model name"):
-                    parts.append(line.strip())
-                elif key == "flags":
+                if not line.strip():
+                    break  # end of the first processor block
+                key = line.split(":", 1)[0].strip().lower()
+                if key in volatile:
+                    continue
+                if key == "flags":
                     parts.append(
                         " ".join(sorted(line.split(":", 1)[1].split()))
                     )
-                if len(parts) >= 6:
-                    break
+                else:
+                    parts.append(line.strip())
         if parts:
             return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
     except OSError:

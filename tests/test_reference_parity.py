@@ -927,3 +927,68 @@ def test_fpn_full_model_predict_parity(ref):
         "scores": np.asarray(ref_scores, np.float64),
     }
     _assert_detection_sets_match(theirs, ours, opts.thres)
+
+
+# ------------------------------------------------- reverse export parity
+
+
+def _check_reference_strict_load(m, sd0, exported):
+    """Exported state dict must strict-load into the actual reference
+    model and reproduce every original tensor exactly."""
+    assert set(exported.keys()) == set(sd0.keys()), (
+        set(sd0) - set(exported), set(exported) - set(sd0))
+    m.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()},
+        strict=True,
+    )
+    for k, want in sd0.items():
+        got = m.state_dict()[k].numpy()
+        np.testing.assert_array_equal(got, want, err_msg=k)
+
+
+def test_legacy_reverse_export_strict_load(ref):
+    """export_legacy_torch_state_dict is the exact inverse of the import
+    against the ACTUAL reference model: FRCNN.state_dict -> import ->
+    export -> strict load_state_dict round-trips every tensor bit-exact
+    (models/model.py:275-298 layout, shared-classifier aliases included).
+    A TPU-trained checkpoint exported this way is directly usable by the
+    reference's resume/demo paths (utils/util.py:142-155)."""
+    from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+        export_legacy_torch_state_dict,
+        import_legacy_torch_params,
+    )
+
+    torch.manual_seed(21)
+    with contextlib.redirect_stdout(io.StringIO()):
+        m = ref.model.FRCNN(num_classes=21).eval()
+    sd0 = {k: v.numpy().copy() for k, v in m.state_dict().items()}
+
+    params = import_legacy_torch_params(sd0, num_classes=21)
+    exported = export_legacy_torch_state_dict(params)
+    _check_reference_strict_load(m, sd0, exported)
+
+
+def test_fpn_reverse_export_strict_load(ref):
+    """FPN twin: new_model.FRCNN.state_dict -> import -> export ->
+    strict load round-trip, frozen-BN stats included
+    (models/new_model.py:365-385 / torchvision resnet_fpn_backbone
+    naming)."""
+    from faster_rcnn_pytorch_tpu.utils.checkpoint import (
+        export_fpn_torch_state_dict,
+        import_fpn_torch_params,
+    )
+
+    torch.manual_seed(23)
+    with contextlib.redirect_stdout(io.StringIO()):
+        m = ref.new_model.FRCNN(num_classes=21).eval()
+    # Non-default BN stats so a dropped/ swapped buffer cannot hide.
+    g = torch.Generator().manual_seed(29)
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.normal_(0.0, 0.05, generator=g)
+            mod.running_var.uniform_(0.8, 1.2, generator=g)
+    sd0 = {k: v.numpy().copy() for k, v in m.state_dict().items()}
+
+    params = import_fpn_torch_params(sd0, num_classes=21)
+    exported = export_fpn_torch_state_dict(params)
+    _check_reference_strict_load(m, sd0, exported)
