@@ -1,0 +1,169 @@
+"""HTTP inference server (serve.py) over exported artifacts."""
+
+import dataclasses
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    LEGACY_CONFIG,
+    build_model,
+    init_detector_params,
+)
+from faster_rcnn_pytorch_tpu.serve import (
+    InferenceServer,
+    detections_to_pixels,
+    fit_scale,
+    make_http_server,
+    pick_bucket,
+    preprocess,
+)
+from faster_rcnn_pytorch_tpu.serving import (
+    artifact_name,
+    export_predict,
+    save_artifact,
+    write_manifest,
+)
+
+CANVAS = 64
+TINY = dataclasses.replace(
+    LEGACY_CONFIG,
+    num_classes=6,
+    pre_nms_train=64,
+    post_nms_train=16,
+    pre_nms_test=32,
+    post_nms_test=8,
+    roi_samples=8,
+    roi_pos_quota=2,
+    max_detections=8,
+)
+
+
+def test_pick_bucket_prefers_matching_orientation():
+    buckets = [(1, (64, 96)), (1, (96, 64))]
+    assert pick_bucket((48, 90), buckets) == (1, (64, 96))  # landscape
+    assert pick_bucket((90, 48), buckets) == (1, (96, 64))  # portrait
+    # tie on fill -> smallest batch wins
+    assert pick_bucket((64, 64), [(4, (64, 64)), (1, (64, 64))]) == (
+        1,
+        (64, 64),
+    )
+    with pytest.raises(ValueError):
+        pick_bucket((10, 10), [])
+
+
+def test_preprocess_contract():
+    raw = np.full((30, 60, 3), 255, np.uint8)
+    canvas, extent, scale = preprocess(raw, (64, 96))
+    assert canvas.shape == (64, 96, 3) and canvas.dtype == np.float32
+    assert scale == pytest.approx(fit_scale((30, 60), (64, 96)))
+    nh, nw = round(30 * scale), round(60 * scale)
+    assert extent == pytest.approx([nw / 96, nh / 64])
+    # padding stays exactly zero; content region is normalized (nonzero)
+    assert np.all(canvas[nh:, :] == 0) and np.all(canvas[:, nw:] == 0)
+    assert np.all(canvas[: nh - 1, : nw - 1] != 0)
+
+
+def test_detections_to_pixels_roundtrip_and_thres():
+    # one valid detection covering pixels (10,5)-(50,25) of an 80x40
+    # original, resized by scale into a 64x96 canvas
+    scale = fit_scale((40, 80), (64, 96))
+    row = np.zeros((3, 7), np.float32)
+    row[0] = [10 * scale / 96, 5 * scale / 64, 50 * scale / 96,
+              25 * scale / 64, 2, 0.9, 1.0]
+    row[1] = [0, 0, 1, 1, 1, 0.4, 1.0]   # valid, low score
+    row[2] = [0, 0, 1, 1, 0, 0.99, 0.0]  # invalid slot
+    dets = detections_to_pixels(row, (64, 96), scale, (80, 40), thres=None)
+    assert len(dets) == 2
+    np.testing.assert_allclose(dets[0]["box"], [10, 5, 50, 25], atol=1e-3)
+    assert dets[0]["label"] == 2 and dets[0]["score"] == pytest.approx(0.9)
+    dets = detections_to_pixels(row, (64, 96), scale, (80, 40), thres=0.5)
+    assert len(dets) == 1
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("export")
+    model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
+    params = init_detector_params(model, jax.random.key(0), canvas=CANVAS)
+    entries = []
+    for canvas in [(CANVAS, CANVAS + 32), (CANVAS + 32, CANVAS)]:
+        exp = export_predict(model, TINY, params, canvas, batch=1)
+        fname = artifact_name(canvas, 1)
+        save_artifact(exp, os.path.join(out, fname))
+        entries.append({"file": fname, "canvas_hw": list(canvas), "batch": 1})
+    write_manifest(
+        str(out), entries,
+        extra={"data_type": "voc", "model_generation": "legacy",
+               "num_classes": 6},
+    )
+    return str(out)
+
+
+def _jpeg_bytes(h, w, seed=0):
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(
+        buf, format="JPEG"
+    )
+    return buf.getvalue()
+
+
+def test_inference_server_detect(export_dir):
+    server = InferenceServer(export_dir)
+    out = server.detect(_jpeg_bytes(40, 90))
+    assert out["image_wh"] == [90, 40]
+    assert out["bucket"] == [1, CANVAS, CANVAS + 32]  # landscape bucket
+    for d in out["detections"]:
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= x2 <= 90 and 0 <= y1 <= y2 <= 40
+        assert isinstance(d["name"], str)
+    # an impossible cutoff removes everything
+    assert server.detect(_jpeg_bytes(40, 90), thres=1.1)["detections"] == []
+
+
+def test_http_server_end_to_end(export_dir):
+    httpd = make_http_server(InferenceServer(export_dir), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.load(r)
+        assert health["status"] == "ok"
+        assert [1, CANVAS, CANVAS + 32] in health["buckets"]
+
+        with urllib.request.urlopen(f"{base}/info", timeout=30) as r:
+            assert json.load(r)["num_classes"] == 6
+
+        req = urllib.request.Request(
+            f"{base}/detect", data=_jpeg_bytes(90, 40), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["bucket"] == [1, CANVAS + 32, CANVAS]  # portrait
+        assert out["image_wh"] == [40, 90]
+
+        # bad inputs are client errors, not server crashes
+        for req in [
+            urllib.request.Request(f"{base}/detect", data=b"not an image",
+                                   method="POST"),
+            urllib.request.Request(f"{base}/detect", data=b"", method="POST"),
+            urllib.request.Request(f"{base}/nope", data=b"x", method="POST"),
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code in (400, 404)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
