@@ -30,13 +30,20 @@ WARMUP = 3
 MAX_GT = 24
 
 
-def _measured_baseline() -> tuple[float | None, str]:
+def _measured_baseline(kind: str = "legacy_predict") -> tuple[float | None, str]:
+    """Measured torch-CPU floor for ``kind`` ('legacy_predict' /
+    'fpn_predict') from BASELINE_MEASURED.json
+    (tools/measure_torch_baseline.py)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     try:
         with open(path) as f:
             b = json.load(f)
-        return float(b["value"]), b["metric"]
+        if kind in b:
+            return float(b[kind]["value"]), b[kind]["metric"]
+        if kind == "legacy_predict" and "value" in b:  # pre-FPN flat schema
+            return float(b["value"]), b["metric"]
+        return None, "unmeasured"
     except (OSError, KeyError, ValueError):
         return None, "unmeasured"
 
@@ -183,12 +190,20 @@ ROWS = {
 }
 
 
+#: rows with a measured torch-CPU floor to compare against
+_BASELINE_KIND = {
+    "legacy_predict_b4": "legacy_predict",
+    "fpn_predict_b2": "fpn_predict",
+}
+
+
 def _row_json(name: str) -> dict:
     fn, metric, headline = ROWS[name]
-    baseline, baseline_metric = _measured_baseline()
     value = fn()
     row = {"metric": metric, "value": round(value, 3), "unit": "images/sec/chip"}
-    if headline:
+    kind = _BASELINE_KIND.get(name)
+    if kind:
+        baseline, baseline_metric = _measured_baseline(kind)
         row["vs_baseline"] = round(value / baseline, 3) if baseline else None
         row["baseline"] = baseline_metric
     return row

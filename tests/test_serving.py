@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+    FPN_CONFIG,
     LEGACY_CONFIG,
     build_model,
     init_detector_params,
@@ -61,6 +62,41 @@ def test_export_artifact_matches_direct_predict(tmp_path):
     got = call(images, extents)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert got.shape == (2, TINY.max_detections, 7)
+
+
+@pytest.mark.slow
+def test_fpn_export_artifact_matches_direct_predict(tmp_path):
+    """FPN-generation twin: the export path is generation-agnostic; this
+    pins the ResNet50-FPN predict (multi-level anchors, MultiScale
+    align, 91-class _suppress shape) through serialize -> load -> call
+    against the live jitted predict bit-for-bit."""
+    tiny = dataclasses.replace(
+        FPN_CONFIG,
+        num_classes=7,
+        pre_nms_train=64,
+        post_nms_train=16,
+        pre_nms_test=32,
+        post_nms_test=8,
+        roi_samples=8,
+        roi_pos_quota=2,
+        max_detections=8,
+    )
+    model, _ = build_model("fpn", num_classes=7, dtype=jnp.float32)
+    params = init_detector_params(model, jax.random.key(1), canvas=CANVAS)
+    rs = np.random.RandomState(5)
+    images = jnp.asarray(
+        rs.normal(size=(1, CANVAS, CANVAS, 3)).astype(np.float32)
+    )
+    extents = jnp.asarray([[0.9, 1.0]], jnp.float32)
+
+    want = make_serving_fn(model, tiny, params)(images, extents)
+
+    exp = export_predict(model, tiny, params, (CANVAS, CANVAS), batch=1)
+    path = os.path.join(tmp_path, artifact_name((CANVAS, CANVAS), 1))
+    save_artifact(exp, path)
+    got = load_artifact(path)(images, extents)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert got.shape == (1, tiny.max_detections, 7)
 
 
 def test_export_rejects_wrong_shape(tmp_path):
