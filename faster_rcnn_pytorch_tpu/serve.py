@@ -30,6 +30,14 @@ detections come back in canvas-[0,1] coordinates and are mapped to
 original pixel space here on the host. Device work is serialized with a
 lock: one chip, one program at a time — concurrency above that belongs
 to a replica fleet, not this process.
+
+``--batch_wait_ms N`` turns on request micro-batching: an exported
+(batch B, canvas) artifact always runs B slots of compute, so a lone
+request wastes B-1 of them. With batching, the first request into an
+idle bucket waits up to N ms for concurrent same-bucket requests (or
+until the batch is full) and the group shares ONE device dispatch —
+under load this multiplies throughput by up to B for the price of N ms
+of added tail latency. Off by default (N=0: dispatch immediately).
 """
 
 from __future__ import annotations
@@ -142,10 +150,101 @@ def detections_to_pixels(
     return out
 
 
+class _Group:
+    """One micro-batch in flight: its pending items and a closed flag
+    (set when the leader snapshots the group for dispatch)."""
+
+    __slots__ = ("items", "closed")
+
+    def __init__(self):
+        self.items: list[dict] = []
+        self.closed = False
+
+
+class MicroBatcher:
+    """Group concurrent same-bucket requests into one device dispatch.
+
+    The first request into an idle bucket becomes the group *leader*:
+    it waits up to ``wait_s`` for followers (or until the bucket's
+    batch is full), packs the group into one ``[B, ...]`` call, runs
+    ``dispatch`` once, and hands each member its row. Followers block
+    on an event the leader always sets (dispatch errors propagate to
+    every member). ``wait_s=0`` dispatches immediately — the unbatched
+    behavior, minus nothing.
+    """
+
+    def __init__(self, dispatch, wait_s: float = 0.0):
+        self._dispatch = dispatch  # (bucket, images, extents) -> [B,D,7]
+        self._wait = wait_s
+        self._cv = threading.Condition()
+        self._groups: dict = {}  # bucket -> _Group
+
+    def run(self, bucket, canvas: np.ndarray, extent: np.ndarray):
+        """Submit one request; returns ``(packed_row, group_size)``."""
+        batch = bucket[0]
+        item = {"canvas": canvas, "extent": extent, "result": None,
+                "error": None, "n": 0, "done": threading.Event()}
+        with self._cv:
+            g = self._groups.get(bucket)
+            if g is None or g.closed or len(g.items) >= batch:
+                g = _Group()
+                self._groups[bucket] = g
+            g.items.append(item)
+            leader = len(g.items) == 1
+            if not leader:
+                self._cv.notify_all()  # wake a leader waiting for fullness
+        if not leader:
+            # The leader sets the event in a finally; the timeout is a
+            # backstop against a leader thread dying uncleanly.
+            if not item["done"].wait(timeout=600.0):
+                raise RuntimeError("micro-batch leader never dispatched")
+            if item["error"] is not None:
+                raise item["error"]
+            return item["result"], item["n"]
+
+        if self._wait > 0 and batch > 1:
+            deadline = time.monotonic() + self._wait
+            with self._cv:
+                while len(g.items) < batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+        with self._cv:
+            g.closed = True
+            if self._groups.get(bucket) is g:
+                del self._groups[bucket]
+            items = list(g.items)
+        try:
+            images = np.zeros((batch,) + items[0]["canvas"].shape, np.float32)
+            extents = np.ones((batch, 2), np.float32)
+            for i, it in enumerate(items):
+                images[i] = it["canvas"]
+                extents[i] = it["extent"]
+            packed = self._dispatch(bucket, images, extents)
+            for i, it in enumerate(items):
+                it["result"] = packed[i]
+                it["n"] = len(items)
+        except Exception as e:  # propagate to every member
+            for it in items:
+                it["error"] = e
+        finally:
+            for it in items:
+                it["done"].set()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"], item["n"]
+
+
 class InferenceServer:
     """Request -> bucket routing -> artifact call -> pixel-space JSON."""
 
-    def __init__(self, export_dir: str, default_thres: float | None = None):
+    def __init__(
+        self,
+        export_dir: str,
+        default_thres: float | None = None,
+        batch_wait_ms: float = 0.0,
+    ):
         self.detector = ExportedDetector(export_dir)
         self.default_thres = default_thres
         m = self.detector.manifest
@@ -153,6 +252,13 @@ class InferenceServer:
             m.get("data_type", "voc"), m.get("model_generation", "legacy")
         )
         self._lock = threading.Lock()
+        self._batcher = MicroBatcher(
+            self._dispatch, wait_s=batch_wait_ms / 1e3
+        )
+
+    def _dispatch(self, bucket, images: np.ndarray, extents: np.ndarray):
+        with self._lock:  # one chip, one program at a time
+            return np.asarray(self.detector(images, extents))
 
     def detect(self, data: bytes, thres: float | None = None) -> dict:
         t0 = time.perf_counter()
@@ -160,15 +266,10 @@ class InferenceServer:
         h, w = raw.shape[:2]
         batch, canvas_hw = pick_bucket((h, w), self.detector.buckets())
         canvas, extent, scale = preprocess(raw, canvas_hw)
-        images = np.zeros((batch,) + canvas.shape, np.float32)
-        images[0] = canvas
-        extents = np.ones((batch, 2), np.float32)
-        extents[0] = extent
-        with self._lock:
-            packed = np.asarray(self.detector(images, extents))
+        row, group_n = self._batcher.run((batch, canvas_hw), canvas, extent)
         if thres is None:
             thres = self.default_thres
-        dets = detections_to_pixels(packed[0], canvas_hw, scale, (w, h), thres)
+        dets = detections_to_pixels(row, canvas_hw, scale, (w, h), thres)
         for d in dets:
             d["name"] = (
                 self.names[d["label"]]
@@ -179,6 +280,7 @@ class InferenceServer:
             "detections": dets,
             "image_wh": [w, h],
             "bucket": [batch, canvas_hw[0], canvas_hw[1]],
+            "batched": group_n,
             "time_ms": round((time.perf_counter() - t0) * 1e3, 2),
         }
 
@@ -264,12 +366,21 @@ def main(argv=None) -> int:
                     "artifact's baked threshold")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip per-bucket warmup before binding the port")
+    ap.add_argument("--batch_wait_ms", type=float, default=0.0,
+                    help="micro-batching: hold the first request into an "
+                    "idle bucket up to this long for concurrent same-"
+                    "bucket requests to share one device dispatch "
+                    "(0 = dispatch immediately)")
     args = ap.parse_args(argv)
 
     from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
-    server = InferenceServer(args.export_dir, default_thres=args.thres)
+    server = InferenceServer(
+        args.export_dir,
+        default_thres=args.thres,
+        batch_wait_ms=args.batch_wait_ms,
+    )
     if not args.no_warmup:
         print(f"warming {len(server.detector.buckets())} bucket(s)...")
         server.warmup()

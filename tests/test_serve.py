@@ -5,6 +5,7 @@ import io
 import json
 import os
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -19,6 +20,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
 )
 from faster_rcnn_pytorch_tpu.serve import (
     InferenceServer,
+    MicroBatcher,
     detections_to_pixels,
     fit_scale,
     make_http_server,
@@ -86,6 +88,135 @@ def test_detections_to_pixels_roundtrip_and_thres():
     assert dets[0]["label"] == 2 and dets[0]["score"] == pytest.approx(0.9)
     dets = detections_to_pixels(row, (64, 96), scale, (80, 40), thres=0.5)
     assert len(dets) == 1
+
+
+BUCKET4 = (4, (8, 8))
+
+
+def _echo_dispatch(calls, delay=0.0):
+    """Fake dispatch: records batch sizes, echoes each slot's extent into
+    its result row so per-requester routing is checkable."""
+
+    def dispatch(bucket, images, extents):
+        calls.append(images.shape[0])
+        if delay:
+            time.sleep(delay)
+        return np.concatenate(
+            [extents, images.reshape(images.shape[0], -1)[:, :1]], axis=1
+        )
+
+    return dispatch
+
+
+def _run_threads(mb, n, results):
+    def worker(i):
+        canvas = np.full((8, 8, 3), float(i), np.float32)
+        extent = np.array([i, i + 0.5], np.float32)
+        try:
+            results[i] = mb.run(BUCKET4, canvas, extent)
+        except Exception as e:  # noqa: BLE001 (collected for assertions)
+            results[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+
+
+def test_micro_batcher_groups_full_batch():
+    calls: list[int] = []
+    mb = MicroBatcher(_echo_dispatch(calls), wait_s=5.0)
+    results: dict = {}
+    _run_threads(mb, 4, results)
+    # full bucket -> ONE dispatch of 4 (no deadline expiry involved)
+    assert calls == [4]
+    for i in range(4):
+        row, n = results[i]
+        assert n == 4
+        np.testing.assert_allclose(row[:2], [i, i + 0.5])  # own slot back
+        assert row[2] == float(i)  # own image in the packed batch
+
+
+def test_micro_batcher_deadline_flushes_partial_group():
+    calls: list[int] = []
+    mb = MicroBatcher(_echo_dispatch(calls), wait_s=0.05)
+    results: dict = {}
+    _run_threads(mb, 2, results)  # 2 < batch 4: leader flushes at deadline
+    # every dispatch is padded to the bucket batch; what varies is how
+    # many dispatches the two requests needed
+    sizes = sorted(results[i][1] for i in range(2))
+    assert len(calls) == {(1, 1): 2, (2, 2): 1}[tuple(sizes)]
+    assert sizes in ([1, 1], [2, 2])  # grouping depends on arrival timing
+    for i in range(2):
+        np.testing.assert_allclose(results[i][0][:2], [i, i + 0.5])
+
+
+def test_micro_batcher_wait_zero_dispatches_immediately():
+    calls: list[int] = []
+    mb = MicroBatcher(_echo_dispatch(calls), wait_s=0.0)
+    row, n = mb.run(BUCKET4, np.zeros((8, 8, 3), np.float32),
+                    np.array([0.7, 0.9], np.float32))
+    assert calls == [4]  # one dispatch, padded to the bucket batch
+    assert n == 1
+    np.testing.assert_allclose(row[:2], [0.7, 0.9])
+
+
+def test_micro_batcher_propagates_dispatch_error_to_all():
+    def boom(bucket, images, extents):
+        raise ValueError("device fell over")
+
+    mb = MicroBatcher(boom, wait_s=0.05)
+    results: dict = {}
+    _run_threads(mb, 3, results)
+    for i in range(3):
+        assert isinstance(results[i], ValueError)
+
+
+def test_server_batches_concurrent_requests(monkeypatch):
+    """Server-level wiring: two concurrent /detect-path calls into a
+    batch-2 bucket share one underlying artifact call."""
+    server = InferenceServer.__new__(InferenceServer)
+    calls: list[int] = []
+
+    class _FakeDetector:
+        manifest = {"data_type": "voc", "model_generation": "legacy"}
+
+        @staticmethod
+        def buckets():
+            return [(2, (16, 16))]
+
+        def __call__(self, images, extents):
+            calls.append(images.shape[0])
+            time.sleep(0.02)
+            out = np.zeros((images.shape[0], 3, 7), np.float32)
+            out[:, 0, 4] = 1.0  # label
+            out[:, 0, 5] = 0.9  # score
+            out[:, 0, 6] = 1.0  # valid
+            out[:, 0, 2:4] = 0.5
+            return out
+
+    server.detector = _FakeDetector()
+    server.default_thres = None
+    server.names = ["a", "b", "c"]
+    server._lock = threading.Lock()
+    server._batcher = MicroBatcher(server._dispatch, wait_s=0.25)
+
+    outs: dict = {}
+
+    def worker(i):
+        outs[i] = server.detect(_jpeg_bytes(16, 16, seed=i))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert calls == [2]  # one shared dispatch
+    for i in range(2):
+        assert outs[i]["batched"] == 2
+        assert len(outs[i]["detections"]) == 1
+        assert outs[i]["detections"][0]["name"] == "b"
 
 
 @pytest.fixture(scope="module")
