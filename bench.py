@@ -272,7 +272,8 @@ def main() -> None:
     full = os.environ.get("FRT_BENCH_FULL", "1") != "0"
     subproc = os.environ.get("FRT_BENCH_SUBPROC", "1") != "0"
     timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "1500"))
-    names = list(ROWS) if full else ["legacy_predict_b4"]
+    headline_name = next(n for n, (_, _, h) in ROWS.items() if h)
+    names = list(ROWS) if full else [headline_name]
 
     probe_s = float(os.environ.get("FRT_BENCH_PROBE_TIMEOUT", "420"))
     if subproc and not _devices_reachable(probe_s):
@@ -293,7 +294,7 @@ def main() -> None:
     for name in names:
         if subproc:
             row = _run_row_subprocess(name, timeout_s)
-            if "error" in row and name == "legacy_predict_b4":
+            if "error" in row and name == headline_name:
                 # Headline gets one retry — it is the recorded metric.
                 row = _run_row_subprocess(name, timeout_s)
         else:

@@ -225,7 +225,9 @@ class MicroBatcher:
             for i, it in enumerate(items):
                 it["result"] = packed[i]
                 it["n"] = len(items)
-        except Exception as e:  # propagate to every member
+        except BaseException as e:  # propagate to every member — plain
+            # Exception would let a KeyboardInterrupt/SystemExit in the
+            # leader release followers with result=None, error=None
             for it in items:
                 it["error"] = e
         finally:

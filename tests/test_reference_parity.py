@@ -9,7 +9,11 @@ torchvision semantics) so ``utils/util.py``, ``anchor.py``,
 These replace hand-derived re-readings of the reference semantics with
 the reference itself for: anchors, encode/decode/IoU, RegionProposal,
 RPNTargetMaker, FastRcnnTargetMaker, _suppress and the 4-part loss
-(models/model.py:12-266,346-402; losses/loss.py:5-85; anchor.py:7-55).
+(models/model.py:12-266,346-402; losses/loss.py:5-85; anchor.py:7-55),
+plus both generations' FULL predict paths (the FPN generation runs over
+the torchvision-semantics stand-ins in tests/torchvision_stubs.py; the
+stub wiring lives in tests/reference_loader.py, shared with
+tools/measure_torch_baseline.py).
 """
 
 import contextlib
@@ -25,14 +29,15 @@ import pytest
 
 import torch
 
-REFERENCE = "/root/reference"
+from reference_loader import (  # noqa: F401 (_tv_nms re-exported)
+    REFERENCE,
+    _tv_nms,
+    reference_modules,
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE), reason="reference repo not mounted"
 )
-
-
-from reference_loader import _tv_nms, reference_modules  # noqa: F401 (re-export)
 
 
 @pytest.fixture(scope="module")

@@ -173,11 +173,10 @@ def test_micro_batcher_propagates_dispatch_error_to_all():
         assert isinstance(results[i], ValueError)
 
 
-def test_server_batches_concurrent_requests(monkeypatch):
-    """Server-level wiring: two concurrent /detect-path calls into a
-    batch-2 bucket share one underlying artifact call."""
-    server = InferenceServer.__new__(InferenceServer)
-    calls: list[int] = []
+def _fake_batch2_server(calls: list) -> InferenceServer:
+    """An InferenceServer over a stubbed batch-2 artifact (no compile):
+    the detector records dispatch batch sizes and emits one fixed
+    detection per slot."""
 
     class _FakeDetector:
         manifest = {"data_type": "voc", "model_generation": "legacy"}
@@ -196,12 +195,20 @@ def test_server_batches_concurrent_requests(monkeypatch):
             out[:, 0, 2:4] = 0.5
             return out
 
+    server = InferenceServer.__new__(InferenceServer)
     server.detector = _FakeDetector()
     server.default_thres = None
     server.names = ["a", "b", "c"]
     server._lock = threading.Lock()
     server._batcher = MicroBatcher(server._dispatch, wait_s=0.25)
+    return server
 
+
+def test_server_batches_concurrent_requests():
+    """Server-level wiring: two concurrent /detect-path calls into a
+    batch-2 bucket share one underlying artifact call."""
+    calls: list[int] = []
+    server = _fake_batch2_server(calls)
     outs: dict = {}
 
     def worker(i):
@@ -217,6 +224,40 @@ def test_server_batches_concurrent_requests(monkeypatch):
         assert outs[i]["batched"] == 2
         assert len(outs[i]["detections"]) == 1
         assert outs[i]["detections"][0]["name"] == "b"
+
+
+def test_http_batches_concurrent_posts():
+    """Live-HTTP twin: two concurrent POST /detect requests through the
+    threaded HTTP server share one dispatch and report batched=2."""
+    calls: list[int] = []
+    httpd = make_http_server(_fake_batch2_server(calls), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        outs: dict = {}
+
+        def fire(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect",
+                data=_jpeg_bytes(16, 16, seed=i),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                outs[i] = json.load(r)
+
+        threads = [
+            threading.Thread(target=fire, args=(i,)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert calls == [2]
+        assert outs[0]["batched"] == 2 and outs[1]["batched"] == 2
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 @pytest.fixture(scope="module")

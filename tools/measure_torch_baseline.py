@@ -94,6 +94,12 @@ class _FastMSRoIAlign(tnn.Module):
         feats = [features[k] for k in self.featmap_names]
         rois = boxes_list[0]
         orig = image_shapes[0]
+        # The reference passes image_shapes as [(w, h)] (models/
+        # new_model.py:143), so orig[0] is WIDTH while f.shape[-2] is
+        # feature HEIGHT — mirroring the reference-as-run. The square
+        # measurement below makes the orientation moot; guard against a
+        # future non-square resolution silently routing levels wrong.
+        assert orig[0] == orig[1], "non-square input: audit scale inference"
         scales = [
             2.0 ** float(np.round(np.log2(float(f.shape[-2]) / orig[0])))
             for f in feats
