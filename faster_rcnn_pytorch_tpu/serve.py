@@ -11,6 +11,9 @@ Endpoints:
 
   GET  ``/healthz`` — liveness + available (batch, canvas) buckets.
   GET  ``/info``    — the export manifest (calling convention, classes).
+  GET  ``/metrics`` — serving counters: requests/errors/detections,
+        request-latency percentiles (p50/p90/p99 over a sliding window),
+        dispatch count and micro-batch group-size histogram, uptime.
   POST ``/detect``  — raw image bytes (JPEG/PNG/anything PIL decodes) in
         the request body. Response JSON::
 
@@ -43,6 +46,7 @@ of added tail latency. Off by default (N=0: dispatch immediately).
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import sys
@@ -148,6 +152,66 @@ def detections_to_pixels(
         ]
         out.append({"box": box, "label": int(label), "score": float(score)})
     return out
+
+
+class ServerStats:
+    """Thread-safe serving counters for the ``/metrics`` endpoint.
+
+    Latencies live in a bounded sliding window (last ``window`` request
+    durations) so percentiles track current behavior instead of the
+    process lifetime; counters are monotonic.
+    """
+
+    def __init__(self, window: int = 1024):
+        self._mu = threading.Lock()
+        self._t0 = time.monotonic()
+        self._lat = collections.deque(maxlen=window)
+        self.requests = 0
+        self.errors = 0
+        self.detections = 0
+        self.dispatches = 0
+        self.batch_hist: dict[int, int] = {}
+
+    def record_request(self, ms: float, n_detections: int, group_n: int):
+        with self._mu:
+            self.requests += 1
+            self.detections += n_detections
+            self._lat.append(ms)
+            # group leaders account for the dispatch; followers only for
+            # the histogram-by-observation (one entry per request keeps
+            # the histogram interpretable as "requests by group size")
+            self.batch_hist[group_n] = self.batch_hist.get(group_n, 0) + 1
+
+    def record_dispatch(self):
+        with self._mu:
+            self.dispatches += 1
+
+    def record_error(self):
+        with self._mu:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._mu:
+            lat = sorted(self._lat)
+            q = (
+                lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 2)
+                if lat
+                else None
+            )
+            return {
+                "uptime_s": round(time.monotonic() - self._t0, 1),
+                "requests": self.requests,
+                "errors": self.errors,
+                "detections": self.detections,
+                "dispatches": self.dispatches,
+                "batch_hist": {str(k): v for k, v in sorted(self.batch_hist.items())},
+                "latency_ms": {
+                    "window": len(lat),
+                    "p50": q(0.50),
+                    "p90": q(0.90),
+                    "p99": q(0.99),
+                },
+            }
 
 
 class _Group:
@@ -257,10 +321,13 @@ class InferenceServer:
         self._batcher = MicroBatcher(
             self._dispatch, wait_s=batch_wait_ms / 1e3
         )
+        self.stats = ServerStats()
 
     def _dispatch(self, bucket, images: np.ndarray, extents: np.ndarray):
         with self._lock:  # one chip, one program at a time
-            return np.asarray(self.detector(images, extents))
+            out = np.asarray(self.detector(images, extents))
+        self.stats.record_dispatch()
+        return out
 
     def detect(self, data: bytes, thres: float | None = None) -> dict:
         t0 = time.perf_counter()
@@ -278,12 +345,14 @@ class InferenceServer:
                 if 0 <= d["label"] < len(self.names)
                 else str(d["label"])
             )
+        ms = round((time.perf_counter() - t0) * 1e3, 2)
+        self.stats.record_request(ms, len(dets), group_n)
         return {
             "detections": dets,
             "image_wh": [w, h],
             "bucket": [batch, canvas_hw[0], canvas_hw[1]],
             "batched": group_n,
-            "time_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            "time_ms": ms,
         }
 
     def warmup(self) -> None:
@@ -321,6 +390,8 @@ def _make_handler(server: InferenceServer):
                 )
             elif path == "/info":
                 self._send_json(server.detector.manifest)
+            elif path == "/metrics":
+                self._send_json(server.stats.snapshot())
             else:
                 self._send_json({"error": f"no route {path}"}, 404)
 
@@ -343,6 +414,7 @@ def _make_handler(server: InferenceServer):
             try:
                 self._send_json(server.detect(data, thres))
             except Exception as e:  # decode/shape errors -> client fault
+                server.stats.record_error()
                 self._send_json({"error": str(e)}, 400)
 
         def log_message(self, fmt, *args):

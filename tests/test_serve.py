@@ -21,6 +21,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
 from faster_rcnn_pytorch_tpu.serve import (
     InferenceServer,
     MicroBatcher,
+    ServerStats,
     detections_to_pixels,
     fit_scale,
     make_http_server,
@@ -201,6 +202,7 @@ def _fake_batch2_server(calls: list) -> InferenceServer:
     server.names = ["a", "b", "c"]
     server._lock = threading.Lock()
     server._batcher = MicroBatcher(server._dispatch, wait_s=0.25)
+    server.stats = ServerStats()
     return server
 
 
@@ -224,6 +226,54 @@ def test_server_batches_concurrent_requests():
         assert outs[i]["batched"] == 2
         assert len(outs[i]["detections"]) == 1
         assert outs[i]["detections"][0]["name"] == "b"
+
+
+def test_server_stats_percentiles_and_counters():
+    s = ServerStats(window=8)
+    for ms in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]:  # first two fall out
+        s.record_request(float(ms), n_detections=2, group_n=1)
+    s.record_dispatch()
+    s.record_error()
+    snap = s.snapshot()
+    assert snap["requests"] == 10 and snap["errors"] == 1
+    assert snap["detections"] == 20 and snap["dispatches"] == 1
+    assert snap["batch_hist"] == {"1": 10}
+    assert snap["latency_ms"]["window"] == 8
+    assert snap["latency_ms"]["p50"] == 7.0  # sorted [3..10][4]
+    assert snap["latency_ms"]["p99"] == 10.0
+    empty = ServerStats().snapshot()
+    assert empty["latency_ms"]["p50"] is None
+
+
+def test_http_metrics_endpoint():
+    calls: list[int] = []
+    httpd = make_http_server(_fake_batch2_server(calls), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            f"{base}/detect", data=_jpeg_bytes(16, 16), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            json.load(r)
+        # one bad request -> error counter
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/detect", data=b"junk", method="POST"
+                ),
+                timeout=60,
+            )
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            m = json.load(r)
+        assert m["requests"] == 1 and m["errors"] == 1
+        assert m["dispatches"] == 1 and m["batch_hist"] == {"1": 1}
+        assert m["latency_ms"]["p50"] is not None
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_http_batches_concurrent_posts():
