@@ -36,6 +36,17 @@ def host_fingerprint() -> str:
     # scatter behavior, not the model id). Hash the whole first-CPU
     # cpuinfo block (microcode + bugs lines included), dropping only
     # per-boot/per-core volatile fields.
+    #
+    # Known cosmetic noise, NOT a collision: on CPUs where XLA adds LLVM
+    # tuning prefs (+prefer-no-scatter/+prefer-no-gather, Sapphire
+    # Rapids-class), every warm-cache load logs a cpu_aot_loader
+    # feature-mismatch error EVEN FOR ENTRIES WRITTEN BY THE SAME
+    # MACHINE IN THE SAME BOOT (verified: write + reload in consecutive
+    # processes warns, yet the persistent-cache hit is taken and the
+    # result is correct). The loader compares the compile-side feature
+    # string (which embeds tuning prefs) against getHostCPUFeatures
+    # (which never reports them). No fingerprint can silence it; ignore
+    # the warning when compile+run hosts are known-identical.
     volatile = {
         "processor", "cpu mhz", "bogomips", "apicid", "initial apicid",
         "core id", "cpu cores", "siblings", "physical id",
