@@ -31,6 +31,9 @@ class Options:
     num_classes: int = 21
     num_workers: int = 4
     batch_size: int = 1
+    # per-host eval batch; 0 = auto (the mesh's local data-axis size, so
+    # the per-epoch eval runs SPMD over every chip; 1 off-mesh)
+    eval_batch_size: int = 0
     max_gt: int = 100
     # optimisation
     epoch: int = 13

@@ -571,7 +571,7 @@ def build_dataloader(opts) -> tuple[DetectionLoader, DetectionLoader]:
     test = DetectionLoader(
         test_recs,
         test_tf,
-        batch_size=1,
+        batch_size=max(getattr(opts, "eval_batch_size", 1), 1),
         size=opts.resize,
         max_size=opts.max_size,
         shuffle=False,

@@ -9,7 +9,6 @@ CPU/GPU ping-pong per class, models/model.py:382-402).
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
@@ -19,7 +18,7 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
 from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
-def _jitted_predict(model, cfg, score_threshold=None):
+def _jitted_predict(model, cfg, score_threshold=None, mesh=None, params=None):
     # score_threshold is closed over as a static Python float (it gates a
     # comparison inside the statically-shaped multiclass NMS).
     # Output is PACKED into one [B, D, 7] f32 array (xyxy, label, score,
@@ -29,14 +28,34 @@ def _jitted_predict(model, cfg, score_threshold=None):
     # is one.
     from faster_rcnn_pytorch_tpu.serving import pack_detections
 
-    @functools.partial(jax.jit, static_argnames=())
     def fn(params, images, extents):
         det = model.apply(
             params, cfg, images, extents, score_threshold, method=predict
         )
         return pack_detections(det)
 
-    return fn
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(fn)
+
+    # SPMD eval: batch rows sharded over the mesh's `data` axis so the
+    # per-epoch eval uses every chip like the train step does (a plain
+    # jit with mesh-replicated params runs the SAME work on all devices
+    # — device-count x redundancy, single-device throughput). Params
+    # follow their training placement (replicated, or Megatron TP specs
+    # for the roi-head FCs — parallel/mesh.py:tree_shardings).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from faster_rcnn_pytorch_tpu.parallel.mesh import (
+        DATA_AXIS,
+        tree_shardings,
+    )
+
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        fn,
+        in_shardings=(tree_shardings(params, mesh), data, data),
+        out_shardings=data,
+    )
 
 
 def detections_to_original_coords(packed, batch, i):
@@ -69,6 +88,7 @@ def evaluate(
     score_threshold: float | None = None,
     max_images: int | None = None,
     max_detections: int | None = None,
+    mesh=None,
 ) -> dict:
     """Run the full eval pass; returns {"map": ..., "stats": ...}.
 
@@ -80,6 +100,10 @@ def evaluate(
         protocol's maxDets=100; VOC keeps every per-class NMS survivor
         like the reference ``_suppress`` (models/model.py:382-402 has no
         cap) — post_k rois x (C-1) classes is an exact uncapped budget.
+      mesh: optional ``jax.sharding.Mesh``; with >1 devices, predict runs
+        SPMD with batch rows sharded over the ``data`` axis (the global
+        batch — per-host rows x hosts — must divide by the data-axis
+        size; the loader wrap-pads every batch to a fixed size).
     """
     import dataclasses
 
@@ -87,7 +111,21 @@ def evaluate(
         max_detections = cfg.post_nms_test * (cfg.num_classes - 1)
     if max_detections is not None and max_detections != cfg.max_detections:
         cfg = dataclasses.replace(cfg, max_detections=max_detections)
-    predict_fn = _jitted_predict(model, cfg, score_threshold)
+    if mesh is not None and mesh.devices.size > 1:
+        from faster_rcnn_pytorch_tpu.parallel.mesh import shard_tree
+
+        data_size = mesh.devices.shape[0]
+        global_batch = loader.batch_size * jax.process_count()
+        if global_batch % data_size:
+            raise ValueError(
+                f"SPMD eval needs the global eval batch ({loader.batch_size}"
+                f" per host x {jax.process_count()} hosts) divisible by the"
+                f" mesh data axis ({data_size}); set --eval_batch_size"
+            )
+        params = shard_tree(params, mesh)  # no-op if already placed
+    else:
+        mesh = None
+    predict_fn = _jitted_predict(model, cfg, score_threshold, mesh, params)
     # Vectorise the fg-label -> dataset-category mapping once (model
     # labels are 0..C-2); the per-detection Python loop was O(dets).
     label_map = label_map or (lambda x: x)
@@ -134,13 +172,46 @@ def evaluate(
 
     pending: deque = deque()
     dispatched = 0
+
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faster_rcnn_pytorch_tpu.parallel.mesh import DATA_AXIS
+
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        # Multi-host SPMD: each host's loader shard is its slice of the
+        # global batch (make_mesh orders devices process-major, so slice
+        # h of the global array lands on host h's devices).
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                data_sh, np.ascontiguousarray(x)
+            )
+        return x
+
+    def fetch(det):
+        # Host-local rows only: with a global mesh the full array is not
+        # addressable from one process, and each host consumes exactly
+        # the predictions for its own loader shard.
+        if multihost:
+            shards = sorted(
+                det.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(det)
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         for batch in loader.epoch(0):
             det = predict_fn(
-                params, batch["image"], batch["extent"].astype(np.float32)
+                params,
+                put(batch["image"]),
+                put(batch["extent"].astype(np.float32)),
             )
             pending.append(
-                (pool.submit(lambda d=det: np.asarray(d)), batch)
+                (pool.submit(lambda d=det: fetch(d)), batch)
             )
             dispatched += batch["image"].shape[0]
             if len(pending) >= 16:

@@ -123,6 +123,12 @@ def main(argv=None) -> int:
         f"(data {mesh.devices.shape[0]} x model {mp}), "
         f"hosts: {opts.num_hosts}"
     )
+    if opts.eval_batch_size == 0:
+        # auto: one eval image per data-mesh slot on this host, so the
+        # per-epoch eval runs SPMD over the same devices as training
+        opts.eval_batch_size = max(
+            mesh.devices.shape[0] // opts.num_hosts, 1
+        )
 
     train_loader, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
@@ -218,6 +224,7 @@ def main(argv=None) -> int:
             coco_index=coco_index,
             label_map=label_map,
             score_threshold=opts.thres,
+            mesh=mesh,
         )
         writer.scalar("eval/mAP", result["map"], epoch)
         print0(f"epoch {epoch}: mAP = {result['map']:.4f}")

@@ -29,6 +29,22 @@ def main(argv=None) -> int:
 
     setup_runtime()
     opts = load_options(argv)
+
+    # SPMD eval over the local devices (single-host CLI): batch rows
+    # shard over the mesh `data` axis exactly like main.py's per-epoch
+    # eval. One device (single chip / plain CPU) degenerates to the
+    # reference's sequential loop.
+    import jax
+
+    from faster_rcnn_pytorch_tpu.parallel.mesh import make_mesh
+
+    mp = max(opts.model_parallel, 1)
+    avail = opts.num_devices or len(jax.local_devices())
+    n_dev = max((avail // mp) * mp, mp)
+    mesh = make_mesh(n_dev, model_parallel=mp) if n_dev > 1 else None
+    if opts.eval_batch_size == 0:
+        opts.eval_batch_size = mesh.devices.shape[0] if mesh else 1
+
     _, test_loader = build_dataloader(opts)
     dtype = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
     model, cfg = build_model(
@@ -59,6 +75,7 @@ def main(argv=None) -> int:
         coco_index=coco_index,
         label_map=label_map_for(opts, coco_index),
         score_threshold=opts.thres,
+        mesh=mesh,
     )
     print0(f"mAP = {result['map']:.4f}")
     return 0

@@ -12,7 +12,11 @@ all_gather, utils/__init__.py:5-23, util/misc.py:89-129):
    both hosts (XLA-inserted cross-host grad reduction),
 4. the pickled-allgather eval merge (CocoEvaluator
    ``synchronize_between_processes``) — both hosts end with identical
-   12-stat summaries over the union of per-host predictions.
+   12-stat summaries over the union of per-host predictions,
+5. full SPMD evaluation over the global mesh (engine/evaluate.py with
+   ``mesh=``): global eval batches assembled from per-host loader
+   shards, per-host addressable-shard fetch, VOC merge — identical mAP
+   on both hosts.
 
 Run: ``python tools/dryrun_multihost.py``; writes MULTIHOST_DRYRUN.json.
 """
@@ -32,7 +36,7 @@ if REPO not in sys.path:
 PORT = 29531
 
 
-def make_voc_tree(root: str, n_train: int = 8, n_test: int = 5) -> None:
+def make_voc_tree(root: str, n_train: int = 8, n_test: int = 6) -> None:
     import numpy as np
     from PIL import Image
 
@@ -99,6 +103,11 @@ def worker(pid: int, data_root: str) -> None:
         dtype="float32",
         host_id=jax.process_index(),
         num_hosts=2,
+        # per-host eval batch of 2 -> global eval batch 4 = the full
+        # data axis, so the SPMD eval leg below shards one image per
+        # device (wrap-padded final batches keep the count equal on
+        # both hosts: 3 shard records / batch 2 -> 2 batches each)
+        eval_batch_size=2,
     )
     train_loader, test_loader = build_dataloader(opts)
 
@@ -110,13 +119,17 @@ def worker(pid: int, data_root: str) -> None:
         return ids
 
     for name, loader in (("train", train_loader), ("test", test_loader)):
-        mine = epoch_ids(loader)
+        # wrap-padding duplicates ids *within* a host; dedup per host,
+        # then require across-host disjointness and full coverage.
+        mine = sorted(set(epoch_ids(loader)))
         shards = allgather_pyobj(mine)
-        flat = [i for s in shards for i in s]
-        assert len(set(flat)) == len(flat), f"{name}: overlapping shards"
+        assert not (set(shards[0]) & set(shards[1])), (
+            f"{name}: overlapping shards"
+        )
         n_total = len(loader.records)
-        assert len(flat) >= n_total - (opts.batch_size - 1) * 2, (
-            name, len(flat), n_total,
+        covered = len(set(shards[0]) | set(shards[1]))
+        assert covered >= n_total - (opts.batch_size - 1) * 2, (
+            name, covered, n_total,
         )
     print(f"[{pid}] loader sharding disjoint", flush=True)
 
@@ -205,6 +218,27 @@ def worker(pid: int, data_root: str) -> None:
         f"mAP={stats[0]:.3f}",
         flush=True,
     )
+
+    # --- SPMD evaluation over the global mesh --------------------------
+    # The full evaluate() path: per-host loader shards assembled into
+    # global batches (make_array_from_process_local_data), predict
+    # sharded one image per device, each host fetching only its
+    # addressable output shards, VOC merge via allgather_pyobj.
+    from faster_rcnn_pytorch_tpu.engine.evaluate import evaluate
+
+    eval_out = evaluate(
+        model,
+        cfg,
+        state.params,
+        test_loader,
+        data_type="voc",
+        score_threshold=0.0,
+        mesh=mesh,
+    )
+    maps = allgather_pyobj(eval_out["map"])
+    assert abs(maps[0] - maps[1]) < 1e-9, maps
+    print(f"[{pid}] SPMD eval over 2 hosts: mAP = {eval_out['map']:.4f}", flush=True)
+
     print(f"DRYRUN_OK pid={pid} loss={loss:.6f} map={stats[0]:.6f}", flush=True)
 
 
@@ -230,6 +264,8 @@ def main() -> int:
         "DRYRUN_OK" in o for o in outs
     )
     for i, o in enumerate(outs):
+        with open(f"/tmp/mh_worker{i}.log", "w") as f:
+            f.write(o)
         tail = "\n".join(o.strip().splitlines()[-6:])
         print(f"--- worker {i} (rc={procs[i].returncode}) ---\n{tail}")
     result = {
