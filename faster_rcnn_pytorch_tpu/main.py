@@ -57,6 +57,14 @@ def init_params(model, opts: Options):
     at a ``.pth.tar``), with optional ImageNet-pretrained backbone
     bootstrap like the reference (models/model.py:275-281,
     new_model.py:372)."""
+    if opts.checkpoint == "pretrained":
+        # The reference demo variant's pretrained=True: fetch the
+        # author's released VOC detector into the cache and import it
+        # (models/model_.py:300-312). Rewritten in place so the shared
+        # checkpoint-resolution policy sees a concrete .pth.tar path.
+        from faster_rcnn_pytorch_tpu.utils.pretrained import fetch
+
+        opts.checkpoint = fetch("frcnn_demo")
     if opts.checkpoint.endswith((".pth.tar", ".pth")):
         sd = load_torch_state_dict(opts.checkpoint)
         importer = (

@@ -356,8 +356,12 @@ def load_pretrained_backbone(params: dict, path: str, generation: str) -> dict:
     """Merge an ImageNet-pretrained torchvision backbone state dict
     (``vgg16`` / ``resnet50`` ``.pth``) into freshly initialised detector
     params — the counterpart of the reference's pretrained bootstrap
-    (models/model.py:275-281, models/new_model.py:372)."""
-    sd = load_torch_state_dict(path)
+    (models/model.py:275-281, models/new_model.py:372). ``path`` may also
+    be a release spec (``auto`` / ``imagenet`` / registry name), resolved
+    through the gated downloader (utils/pretrained.py)."""
+    from faster_rcnn_pytorch_tpu.utils.pretrained import resolve_backbone
+
+    sd = load_torch_state_dict(resolve_backbone(path, generation))
     if generation == "legacy":
         return _merge_subtree(params, ("extractor",), import_torchvision_vgg16(sd))
     if generation == "fpn":
