@@ -61,6 +61,29 @@ def test_spmd_predict_matches_single_device():
     np.testing.assert_array_equal(ref, spmd)
 
 
+def test_spmd_predict_matches_under_tensor_parallelism():
+    """(data, model) mesh: batch rows shard over `data` while the
+    Megatron-sharded roi-head FCs shard over `model` — eval must stay
+    byte-identical to the single-device program (the TP all-reduce is
+    exact for these shapes)."""
+    from faster_rcnn_pytorch_tpu.parallel.mesh import shard_tree
+
+    model, cfg, params = _tiny_model()
+    rs = np.random.RandomState(2)
+    mesh = make_mesh(4, model_parallel=2)  # data 2 x model 2
+    images = rs.rand(4, 64, 64, 3).astype(np.float32)
+    extents = np.tile(np.array([1.0, 0.9], np.float32), (4, 1))
+
+    ref = np.asarray(_jitted_predict(model, cfg, 0.0)(params, images, extents))
+    tp_params = shard_tree(params, mesh)
+    spmd = np.asarray(
+        _jitted_predict(model, cfg, 0.0, mesh, tp_params)(
+            tp_params, images, extents
+        )
+    )
+    np.testing.assert_array_equal(ref, spmd)
+
+
 @pytest.fixture(scope="module")
 def coco_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("spmdeval")
