@@ -120,22 +120,6 @@ def fpn_anchors(
     return anchors.astype(np.float32)
 
 
-def fpn_level_sizes(
-    height: int,
-    width: int,
-    strides: tuple[int, ...] = (4, 8, 16, 32, 64),
-    num_ratios: int = 3,
-) -> tuple[int, ...]:
-    """Per-level anchor counts in :func:`fpn_anchors` concatenation order.
-
-    Lets :func:`..rpn.propose` split its top-k by pyramid level (an
-    exact decomposition of the global top-k — see rpn.py).
-    """
-    return tuple(
-        num_ratios * (-(-height // s)) * (-(-width // s)) for s in strides
-    )
-
-
 def inside_fraction(
     anchors: np.ndarray, extent: tuple[float, float]
 ) -> float:

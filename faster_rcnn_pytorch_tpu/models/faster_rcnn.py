@@ -238,21 +238,11 @@ class FPNFRCNN(nn.Module):
     def canvas_anchors(self, height: int, width: int) -> np.ndarray:
         return anchor_lib.fpn_anchors(height, width, strides=self.strides)
 
-    def canvas_level_sizes(self, height: int, width: int) -> tuple:
-        return anchor_lib.fpn_level_sizes(height, width, strides=self.strides)
-
 
 class TrainStepOutput(NamedTuple):
     losses: LossBreakdown
     num_pos_roi: Array
     num_pos_rpn: Array
-
-
-def _canvas_level_sizes(model, canvas_h, canvas_w):
-    """Per-level anchor counts for the propose top-k decomposition
-    (FPN only; the legacy single-scale model returns None)."""
-    fn = getattr(model, "canvas_level_sizes", None)
-    return fn(canvas_h, canvas_w) if fn is not None else None
 
 
 def _head_apply(model, feats, rois, canvas_hw):
@@ -286,7 +276,6 @@ def forward_train(
     """
     b, canvas_h, canvas_w = images.shape[:3]
     anchors = jnp.asarray(model.canvas_anchors(canvas_h, canvas_w))
-    level_sizes = _canvas_level_sizes(model, canvas_h, canvas_w)
 
     feats = model.features(images)
     rpn_cls, rpn_reg = model.rpn_out(feats)  # [B, A, 2/4]
@@ -304,7 +293,6 @@ def forward_train(
             nms_iou=cfg.rpn_nms_iou,
             min_size=cfg.proposal_min_size,
             nms_tile=cfg.rpn_nms_tile,
-            level_sizes=level_sizes,
         )
         rpn_tg = rpn_targets(
             anchors,
@@ -383,7 +371,6 @@ def predict(
     """
     b, canvas_h, canvas_w = images.shape[:3]
     anchors = jnp.asarray(model.canvas_anchors(canvas_h, canvas_w))
-    level_sizes = _canvas_level_sizes(model, canvas_h, canvas_w)
     thres = cfg.score_threshold if score_threshold is None else score_threshold
 
     feats = model.features(images)
@@ -400,7 +387,6 @@ def predict(
             nms_iou=cfg.rpn_nms_iou,
             min_size=cfg.proposal_min_size,
             nms_tile=cfg.rpn_nms_tile,
-            level_sizes=level_sizes,
         )
     )(rpn_cls, rpn_reg, extents)
 

@@ -70,14 +70,6 @@ class RPNHead(nn.Module):
         return cls, reg
 
 
-def _level_topk_enabled() -> bool:
-    """Opt-in switch for the per-level top-k decomposition in
-    :func:`propose` (``FRT_LEVEL_TOPK=1``). Output-exact either way
-    (tested); default stays off until the on-chip microbench
-    (tools/microbench_propose.py) shows a win on TPU."""
-    return os.environ.get("FRT_LEVEL_TOPK", "0") == "1"
-
-
 class Proposals(NamedTuple):
     rois: Array  # [post_k, 4] xyxy in [0,1] canvas coords
     valid: Array  # [post_k] bool
@@ -94,7 +86,6 @@ def propose(
     nms_iou: float = 0.7,
     min_size: float = 1.0 / 1000.0,
     nms_tile: int = 512,
-    level_sizes: tuple[int, ...] | None = None,
 ) -> Proposals:
     """Select ``post_k`` proposals from per-anchor RPN predictions.
 
@@ -139,29 +130,11 @@ def propose(
         sorted_boxes = jnp.stack(
             [bx1[:k], by1[:k], bx2[:k], by2[:k]], axis=-1
         )
-    elif level_sizes is not None and _level_topk_enabled():
-        # Exact hierarchical decomposition of the global top-k: each
-        # pyramid level contributes at most k candidates, so
-        # top_k(concat(levels), k) == top_k(concat(top_k(level, k)), k)
-        # — including tie order, because lax.top_k breaks ties by lower
-        # index and the candidate concatenation preserves both the
-        # within-level index order of equal scores and the level order.
-        # Shrinks the sort/gather operand from ~159k (800x1344 canvas)
-        # to sum(min(k, n_l)) ~= 2k-10k rows.
-        assert sum(level_sizes) == n, (level_sizes, n)
-        cand_scores, cand_boxes = [], []
-        off = 0
-        for n_l in level_sizes:
-            k_l = min(k, n_l)
-            s_l, idx_l = jax.lax.top_k(score[off : off + n_l], k_l)
-            cand_scores.append(s_l)
-            cand_boxes.append(boxes[off : off + n_l][idx_l])
-            off += n_l
-        cs = jnp.concatenate(cand_scores)
-        cb = jnp.concatenate(cand_boxes, axis=0)
-        sorted_scores, top_idx = jax.lax.top_k(cs, min(k, cs.shape[0]))
-        sorted_boxes = cb[top_idx]
     else:
+        # A per-level top-k + merge decomposition (exact, incl. tie
+        # order) was built and A/B'd on-chip: 3.12 ms vs 2.74 ms for
+        # the global top_k at the FPN predict shapes — XLA's global
+        # top_k wins, so the decomposition was removed (2026-08-18).
         sorted_scores, top_idx = jax.lax.top_k(score, k)
         sorted_boxes = boxes[top_idx]
     in_budget = sorted_scores > -jnp.inf

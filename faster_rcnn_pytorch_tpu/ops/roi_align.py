@@ -809,11 +809,12 @@ def _msra_bwd_impl(features, rois, g, strides, output_size, sampling_ratio):
 
     level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
     kernel_mode = _window_kernel_mode()
-    # The backward kernel's RMW hazard protocol is only exercisable on
-    # real hardware (the interpreter is sequential); it stays opt-in on
-    # TPU until tools/microbench_align_bwd.py has validated + timed it
-    # on the attached chip. Interpret mode (tests) always dispatches.
-    bwd_on_tpu = os.environ.get("FRT_ALIGN_BWD_KERNEL", "0") == "1"
+    # On-chip validated by tools/microbench_align_bwd.py (v5e): the RMW
+    # hazard protocol holds on overlap-heavy roi clumps and the kernel
+    # beats the dense VJP (10.7 vs 12.5 ms b2x512, 20.5 vs 25.0 ms
+    # b2x1000), so it is the TPU default; FRT_ALIGN_BWD_KERNEL=0 forces
+    # the dense-matmul VJP fallback.
+    bwd_on_tpu = os.environ.get("FRT_ALIGN_BWD_KERNEL", "1") == "1"
     use_kernel = (
         (kernel_mode == "interpret" or (kernel_mode == "tpu" and bwd_on_tpu))
         and features[0].shape[-1] % 128 == 0
