@@ -15,7 +15,6 @@ every dynamic step with a static one:
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import flax.linen as nn
