@@ -55,6 +55,10 @@ class Options:
     test_epoch: str = "best"
     ckpt_backend: str = "flax"  # flax (single file) | orbax (dir, scale path)
     async_checkpoint: bool = False  # orbax only: overlap save with training
+    # retention: keep only the newest K per-epoch checkpoints (the best
+    # copy is always kept). 0 = keep every epoch, the reference's
+    # behaviour (train.py:80-85 never deletes).
+    keep_checkpoints: int = 0
     # inference
     thres: float = 0.05
     demo_root: str = "./demo"

@@ -13,6 +13,7 @@ import jax
 from faster_rcnn_pytorch_tpu.parallel.mesh import shard_batch
 from faster_rcnn_pytorch_tpu.utils.checkpoint import (
     checkpoint_path,
+    prune_checkpoints,
     save_checkpoint,
 )
 from faster_rcnn_pytorch_tpu.utils.logging import (
@@ -67,4 +68,7 @@ def train_one_epoch(
             async_save=getattr(opts, "async_checkpoint", False),
         )
         print(f"saved checkpoint {path}")
+        prune_checkpoints(
+            opts.log_dir, opts.name, getattr(opts, "keep_checkpoints", 0)
+        )
     return state

@@ -147,6 +147,40 @@ def checkpoint_path(log_dir: str, name: str, epoch: int | str) -> str:
     return os.path.join(log_dir, name, "saves", f"{name}.{epoch}.ckpt")
 
 
+def prune_checkpoints(log_dir: str, name: str, keep_last: int) -> list[str]:
+    """Delete all but the newest ``keep_last`` per-epoch checkpoints.
+
+    Retention policy the reference lacks (train.py:80-85 keeps every
+    epoch — ~1 GB each); opt-in via ``--keep_checkpoints K``, 0 = keep
+    all (parity default). The ``best`` copy is never deleted, and both
+    backends are handled (flax files, orbax directories). Returns the
+    removed paths.
+    """
+    if keep_last <= 0:
+        return []
+    import re
+    import shutil
+
+    saves_dir = os.path.dirname(checkpoint_path(log_dir, name, 0))
+    if not os.path.isdir(saves_dir):
+        return []
+    pat = re.compile(re.escape(name) + r"\.(\d+)\.ckpt$")
+    epochs = sorted(
+        int(m.group(1))
+        for fn in os.listdir(saves_dir)
+        if (m := pat.fullmatch(fn))
+    )
+    removed = []
+    for e in epochs[: max(len(epochs) - keep_last, 0)]:
+        path = checkpoint_path(log_dir, name, e)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+        removed.append(path)
+    return removed
+
+
 def resolve_and_load_params(opts, params):
     """Shared eval/demo/export checkpoint resolution (one policy instead
     of three diverging copies; counterpart of test.py:29-32 /

@@ -221,3 +221,41 @@ def test_resolve_and_load_params_policy(tmp_path):
     got, note = ck.resolve_and_load_params(opts(), params)
     assert "epoch 2" in note
     np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 7.0)
+
+
+def test_prune_checkpoints_retention(tmp_path):
+    """--keep_checkpoints K deletes all but the newest K epoch files,
+    never touches the best copy, and 0 keeps everything (reference
+    keep-all parity, train.py:80-85)."""
+    log_dir = str(tmp_path)
+    state = {"w": np.zeros(2, np.float32)}
+    for e in range(5):
+        ck.save_checkpoint(ck.checkpoint_path(log_dir, "run", e), state)
+    ck.save_checkpoint(ck.checkpoint_path(log_dir, "run", "best"), state)
+
+    assert ck.prune_checkpoints(log_dir, "run", 0) == []  # keep-all default
+
+    removed = ck.prune_checkpoints(log_dir, "run", 2)
+    assert sorted(removed) == [
+        ck.checkpoint_path(log_dir, "run", e) for e in range(3)
+    ]
+    saves = os.path.dirname(ck.checkpoint_path(log_dir, "run", 0))
+    left = sorted(os.listdir(saves))
+    assert left == ["run.3.ckpt", "run.4.ckpt", "run.best.ckpt"]
+
+    # idempotent once under budget; missing dir is a no-op
+    assert ck.prune_checkpoints(log_dir, "run", 2) == []
+    assert ck.prune_checkpoints(log_dir, "absent", 2) == []
+
+
+def test_prune_checkpoints_orbax_dirs(tmp_path):
+    """Retention removes orbax checkpoint *directories* too."""
+    log_dir = str(tmp_path)
+    for e in range(3):
+        path = ck.checkpoint_path(log_dir, "r", e)
+        os.makedirs(path)
+        with open(os.path.join(path, "marker"), "w") as f:
+            f.write("x")
+    ck.prune_checkpoints(log_dir, "r", 1)
+    saves = os.path.dirname(ck.checkpoint_path(log_dir, "r", 0))
+    assert sorted(os.listdir(saves)) == ["r.2.ckpt"]
