@@ -9,14 +9,38 @@ Differences from a naive port:
 
 * NHWC layout (TPU conv layout; torch is NCHW),
 * bfloat16 activations by default with float32 params (MXU-friendly),
-* runs under ``jax.checkpoint`` policy control from the trainer, not here.
+* runs under ``jax.checkpoint`` policy control from the trainer, not here,
+* the 64-channel stem is *slab-batched* at small batch (see below).
 
 The 4096-wide two-layer FC "classifier" shared between the RoI head and
 the torchvision checkpoint (models/model.py:282-285) lives in
 :mod:`.heads`, not here.
+
+Slab-batched stem
+-----------------
+
+XLA's fast TPU conv strategy for the 64-channel stem needs batch >= 8:
+at equal total work, ``[b,h,w,64]x64`` 3x3 convs run ~21-27 TF/s for
+b<=4 but ~68-76 TF/s for b>=8 (``tools/microbench_conv_shapes.py``).
+Detection batches are small (1-4 images of 800x800), so stage 1 —
+conv1_1/conv1_2 at full resolution, the single largest term in both
+predict (8.3 of 24.9 ms) and the train step (conv1_2 fwd+bwd alone
+~27 ms) — runs at a quarter of its potential.
+
+Fix: split each image's rows into S contiguous slabs with k halo rows
+(k = convs in the segment = 2), conv the ``[b*S, slab+2k, w, c]`` stack
+with VALID height padding, and reshape back. Exactness requires one
+subtlety: halo rows that lie *outside the image* must be re-zeroed after
+every intermediate conv — the plain network's next conv pads with
+literal zeros there, while a computed halo row is
+``relu(conv(zero_pad)+bias) != 0``. With that mask the slab output
+matches the plain stage to 1 bf16 ulp, and stage-1 fwd+bwd drops
+40.6 -> 26.4 ms at b4 on v5e (``tools/microbench_slab_stem.py``).
 """
 
 from __future__ import annotations
+
+import os
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,6 +48,58 @@ import jax.numpy as jnp
 # (channels, layers-in-stage); a max-pool follows each stage except the
 # last (stride-16 output).
 VGG16_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+def _slab_factor(n: int, h: int) -> int:
+    """Largest useful slab count for batch ``n`` and image height ``h``.
+
+    Returns 1 when slabbing is off, not needed (batch already >= target)
+    or impossible (height not divisible into equal even slabs — slab
+    height must be even so the following 2x2 max-pool stays aligned).
+
+    The target effective batch (images x slabs) defaults to 8 — below
+    that XLA picks its slow small-batch conv schedule for 64-channel
+    convs. ``n`` is the *traced* (global) batch, so multi-chip DP users
+    whose per-device batch is smaller can raise ``FRT_SLAB_TARGET`` to
+    ``8 * n_data_shards``; ``FRT_SLAB_STEM=0`` disables slabbing.
+    """
+    if os.environ.get("FRT_SLAB_STEM", "1") == "0":
+        return 1
+    target = int(os.environ.get("FRT_SLAB_TARGET", "8"))
+    s = 1
+    while n * s < target:
+        s *= 2
+    if s > 1 and (h % s == 0) and ((h // s) % 2 == 0):
+        return s
+    return 1
+
+
+def _slab_stage(x, convs, s):
+    """Apply a stack of 3x3/s1 SAME convs+ReLU as S row-slabs per image.
+
+    ``convs`` are flax modules constructed with VALID height padding.
+    Exact vs the plain stack (up to bf16 accumulation order): interior
+    slab halos carry true computed activations; out-of-image halo rows
+    are re-zeroed between convs to reproduce SAME zero-padding.
+    """
+    k = len(convs)
+    n, h, w, c = x.shape
+    slab = h // s
+    xp = jnp.pad(x, ((0, 0), (k, k), (0, 0), (0, 0)))
+    y = jnp.stack(
+        [xp[:, i * slab : i * slab + slab + 2 * k] for i in range(s)], 1
+    ).reshape(n * s, slab + 2 * k, w, c)
+    for t, conv in enumerate(convs, start=1):
+        y = nn.relu(conv(y))
+        if t < k:
+            halo = k - t
+            g = (
+                jnp.arange(s)[:, None] * slab
+                + jnp.arange(slab + 2 * halo)[None, :]
+                - halo
+            )
+            mask = ((g >= 0) & (g < h)).astype(y.dtype)
+            y = y * jnp.tile(mask, (n, 1))[:, :, None, None]
+    return y.reshape(n, h, w, y.shape[-1])
 
 
 class VGG16Features(nn.Module):
@@ -38,19 +114,29 @@ class VGG16Features(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
+        n, h = x.shape[0], x.shape[1]
         conv_idx = 0
         for stage, (ch, layers) in enumerate(VGG16_STAGES):
+            s = _slab_factor(n, h) if stage == 0 else 1
+            pad = ((0, 0), (1, 1)) if s > 1 else 1
+            convs = []
             for _ in range(layers):
-                x = nn.Conv(
-                    ch,
-                    (3, 3),
-                    padding=1,
-                    dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    name=f"conv{conv_idx}",
-                )(x)
-                x = nn.relu(x)
+                convs.append(
+                    nn.Conv(
+                        ch,
+                        (3, 3),
+                        padding=pad,
+                        dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name=f"conv{conv_idx}",
+                    )
+                )
                 conv_idx += 1
+            if s > 1:
+                x = _slab_stage(x, convs, s)
+            else:
+                for conv in convs:
+                    x = nn.relu(conv(x))
             if stage < len(VGG16_STAGES) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return x

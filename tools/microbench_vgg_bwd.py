@@ -4,7 +4,7 @@ Companion to the forward table in DESIGN.md §6: finds where the 105 ms
 backbone fwd+bwd (vs 18.3 ms fwd) actually goes, layer by layer, and
 separates grad-wrt-input from grad-wrt-filter cost for the worst layer.
 
-Run: python tools/microbench_vgg_bwd.py
+Run: python tools/microbench_vgg_bwd.py [batch]
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ _enable_cache()
 
 from tools.chaintime import chain_time
 
-B = 4
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 # (hw, cin, cout) for each distinct conv shape in VGG16 at 800px, with
 # its multiplicity in the stack.
 LAYERS = (
