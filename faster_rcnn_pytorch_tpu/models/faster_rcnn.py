@@ -107,7 +107,13 @@ class LegacyFRCNN(nn.Module):
         # backbone forward for the largest activation footprint, enabling
         # bigger per-chip batches. Reference has no equivalent (torch
         # checkpointing unused there).
-        vgg = nn.remat(VGG16Features) if self.remat else VGG16Features
+        # static_argnums: arg 0 is the module itself, 2 is the python-bool
+        # `train` flag that picks the slab-batched stem (vgg.py).
+        vgg = (
+            nn.remat(VGG16Features, static_argnums=(2,))
+            if self.remat
+            else VGG16Features
+        )
         self.extractor = vgg(dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=9, channels=512, dtype=self.dtype)
         # Shared 4096-wide FC trunk; the reference aliases the same module
@@ -127,8 +133,10 @@ class LegacyFRCNN(nn.Module):
             param_dtype=jnp.float32,
         )
 
-    def features(self, images):  # [B, H, W, 3] -> [B, H/16, W/16, 512]
-        return self.extractor(images)
+    def features(self, images, train=False):
+        # [B, H, W, 3] -> [B, H/16, W/16, 512]; `train` statically selects
+        # the slab-batched stem (vgg.py — a train-step-only win).
+        return self.extractor(images, train)
 
     def rpn_out(self, feats):  # -> ([B, A, 2], [B, A, 4]) float32
         return self.rpn(feats)
@@ -185,7 +193,10 @@ class FPNFRCNN(nn.Module):
             param_dtype=jnp.float32,
         )
 
-    def features(self, images):  # -> tuple of 5 maps (P2..P6)
+    def features(self, images, train=False):
+        # -> tuple of 5 maps (P2..P6); `train` accepted for interface
+        # parity with the legacy extractor (no slab path in ResNet).
+        del train
         return self.backbone(images)
 
     def rpn_out(self, feats):
@@ -277,7 +288,7 @@ def forward_train(
     b, canvas_h, canvas_w = images.shape[:3]
     anchors = jnp.asarray(model.canvas_anchors(canvas_h, canvas_w))
 
-    feats = model.features(images)
+    feats = model.features(images, train=True)
     rpn_cls, rpn_reg = model.rpn_out(feats)  # [B, A, 2/4]
 
     rngs = jax.random.split(rng, (b, 3))

@@ -36,6 +36,11 @@ literal zeros there, while a computed halo row is
 ``relu(conv(zero_pad)+bias) != 0``. With that mask the slab output
 matches the plain stage to 1 bf16 ulp, and stage-1 fwd+bwd drops
 40.6 -> 26.4 ms at b4 on v5e (``tools/microbench_slab_stem.py``).
+
+Slabbing engages on the TRAIN forward only (end-to-end train b4
+31.7 -> 41.0 img/s); the forward-only predict path measured marginally
+slower slabbed (154.0 vs 157.5 img/s), so it stays plain there — see
+``_slab_factor`` for the knobs.
 """
 
 from __future__ import annotations
@@ -49,20 +54,28 @@ import jax.numpy as jnp
 # last (stride-16 output).
 VGG16_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
-def _slab_factor(n: int, h: int) -> int:
+def _slab_factor(n: int, h: int, train: bool) -> int:
     """Largest useful slab count for batch ``n`` and image height ``h``.
 
     Returns 1 when slabbing is off, not needed (batch already >= target)
     or impossible (height not divisible into equal even slabs — slab
     height must be even so the following 2x2 max-pool stays aligned).
 
+    Slabbing engages in the TRAIN forward only: the backward's gradient
+    convs gain 35% from batch >= 8, but on the forward-only predict path
+    the pad/stack/reshape layout ops cost slightly more than the conv
+    win inside the fused program (on-chip A/B: predict b4 154.0 slabbed
+    vs 157.5 plain img/s; train b4 31.7 -> 41.0 img/s).
+
     The target effective batch (images x slabs) defaults to 8 — below
     that XLA picks its slow small-batch conv schedule for 64-channel
     convs. ``n`` is the *traced* (global) batch, so multi-chip DP users
     whose per-device batch is smaller can raise ``FRT_SLAB_TARGET`` to
-    ``8 * n_data_shards``; ``FRT_SLAB_STEM=0`` disables slabbing.
+    ``8 * n_data_shards``. ``FRT_SLAB_STEM=0`` disables slabbing
+    entirely; ``FRT_SLAB_STEM=always`` applies it to predict too.
     """
-    if os.environ.get("FRT_SLAB_STEM", "1") == "0":
+    mode = os.environ.get("FRT_SLAB_STEM", "1")
+    if mode == "0" or (not train and mode != "always"):
         return 1
     target = int(os.environ.get("FRT_SLAB_TARGET", "8"))
     s = 1
@@ -112,12 +125,12 @@ class VGG16Features(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         n, h = x.shape[0], x.shape[1]
         conv_idx = 0
         for stage, (ch, layers) in enumerate(VGG16_STAGES):
-            s = _slab_factor(n, h) if stage == 0 else 1
+            s = _slab_factor(n, h, train) if stage == 0 else 1
             pad = ((0, 0), (1, 1)) if s > 1 else 1
             convs = []
             for _ in range(layers):

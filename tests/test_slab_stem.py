@@ -27,7 +27,7 @@ def _init(batch, h, w, seed=0):
 
 def _apply(model, params, x, slab_on, monkeypatch):
     monkeypatch.setenv("FRT_SLAB_STEM", "1" if slab_on else "0")
-    return model.apply(params, x)
+    return model.apply(params, x, True)  # train=True: slab engages there
 
 
 @pytest.mark.parametrize("batch,h,w", [(1, 64, 96), (2, 64, 64), (4, 32, 48)])
@@ -35,7 +35,7 @@ def test_slab_stem_forward_exact(batch, h, w, monkeypatch):
     model, params, x = _init(batch, h, w)
     plain = _apply(model, params, x, False, monkeypatch)
     slab = _apply(model, params, x, True, monkeypatch)
-    assert _slab_factor(batch, h) > 1  # the slab path actually engaged
+    assert _slab_factor(batch, h, train=True) > 1  # slab actually engaged
     np.testing.assert_allclose(
         np.asarray(slab), np.asarray(plain), rtol=1e-5, atol=1e-5
     )
@@ -46,7 +46,7 @@ def test_slab_stem_gradient_exact(monkeypatch):
 
     def loss(p, on):
         monkeypatch.setenv("FRT_SLAB_STEM", "1" if on else "0")
-        return (model.apply(p, x) ** 2).sum()
+        return (model.apply(p, x, True) ** 2).sum()
 
     g_plain = jax.grad(lambda p: loss(p, False))(params)
     g_slab = jax.grad(lambda p: loss(p, True))(params)
@@ -60,16 +60,19 @@ def test_slab_stem_gradient_exact(monkeypatch):
 
 def test_slab_factor_fallbacks(monkeypatch):
     monkeypatch.setenv("FRT_SLAB_STEM", "1")
-    assert _slab_factor(8, 64) == 1  # batch already at target
-    assert _slab_factor(1, 50) == 1  # 50 % 8 != 0
-    assert _slab_factor(4, 18) == 1  # slab height 9 is odd (pool misaligns)
-    assert _slab_factor(4, 64) == 2
-    assert _slab_factor(1, 64) == 8
+    assert _slab_factor(8, 64, True) == 1  # batch already at target
+    assert _slab_factor(1, 50, True) == 1  # 50 % 8 != 0
+    assert _slab_factor(4, 18, True) == 1  # slab height 9 odd (pool misaligns)
+    assert _slab_factor(4, 64, True) == 2
+    assert _slab_factor(1, 64, True) == 8
+    assert _slab_factor(1, 64, False) == 1  # predict path stays plain
+    monkeypatch.setenv("FRT_SLAB_STEM", "always")
+    assert _slab_factor(1, 64, False) == 8  # unless opted in
     monkeypatch.setenv("FRT_SLAB_STEM", "0")
-    assert _slab_factor(1, 64) == 1
+    assert _slab_factor(1, 64, True) == 1
     monkeypatch.delenv("FRT_SLAB_STEM")
     monkeypatch.setenv("FRT_SLAB_TARGET", "16")
-    assert _slab_factor(2, 64) == 8
+    assert _slab_factor(2, 64, True) == 8
 
 
 def test_slab_param_tree_unchanged(monkeypatch):
