@@ -41,6 +41,14 @@ Slabbing engages on the TRAIN forward only (end-to-end train b4
 31.7 -> 41.0 img/s); the forward-only predict path measured marginally
 slower slabbed (154.0 vs 157.5 img/s), so it stays plain there — see
 ``_slab_factor`` for the knobs.
+
+Stage 2 (128 ch at h/2) is batch-bound the same way
+(``tools/microbench_conv_shapes2.py``: conv2_2 b4 76 -> 199 TF/s at
+effective batch 8; fwd+bwd 8.1 -> 2.9 ms, conv2_1 5.8 -> 1.9 ms), so
+the first TWO stages are slabbed in the train forward. Stage 3+
+(256-512 ch) already runs at 173-262 TF/s — no slab there.
+End-to-end train b4: 41.1 -> 46.6 img/s measured on-chip (bench.py
+legacy_train_b4 A/B at this commit).
 """
 
 from __future__ import annotations
@@ -127,10 +135,12 @@ class VGG16Features(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        n, h = x.shape[0], x.shape[1]
+        n = x.shape[0]
         conv_idx = 0
+        # Stages 0 and 1 (64/128 ch) are batch-bound below effective
+        # batch 8; wider stages already run near the conv roofline.
         for stage, (ch, layers) in enumerate(VGG16_STAGES):
-            s = _slab_factor(n, h, train) if stage == 0 else 1
+            s = _slab_factor(n, x.shape[1], train) if stage <= 1 else 1
             pad = ((0, 0), (1, 1)) if s > 1 else 1
             convs = []
             for _ in range(layers):
