@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faster_rcnn_pytorch_tpu.ops.boxes import encode, masked_iou, xy_to_cxcy
+from faster_rcnn_pytorch_tpu.ops.boxes import (
+    encode,
+    masked_iou,
+    masked_iou_gt_major,
+    xy_to_cxcy,
+)
 from faster_rcnn_pytorch_tpu.ops.sampling import (
     _group_rank_topk,
     sample_pos_neg,
@@ -99,24 +104,28 @@ def rpn_targets(
     else:
         inside = jnp.ones((a,), bool)
 
-    iou = masked_iou(anchors, gt_boxes, gt_mask)  # [A, G], -1 at padded gt
-    iou = jnp.where(inside[:, None], iou, -1.0)
-    iou_max = iou.max(axis=1)
-    iou_argmax = iou.argmax(axis=1)
+    # IoU in gt-major [G, A] layout: with the anchor axis minor every
+    # temporary lane-packs; the [A, G] orientation (G=24 minor, padded
+    # to 128 lanes) made the whole assignment layout-bound at FPN scale
+    # (tools/microbench_rpn_targets.py / microbench_encode_layout.py).
+    iou = masked_iou_gt_major(gt_boxes, gt_mask, anchors)  # [G, A]
+    iou = jnp.where(inside[None, :], iou, -1.0)
+    iou_max = iou.max(axis=0)  # [A]
+    iou_argmax = iou.argmax(axis=0)  # [A]
 
     labels = jnp.full((a,), -1, dtype=jnp.int32)
     labels = jnp.where(inside & (iou_max < neg_iou) & (iou_max >= 0.0), 0, labels)
 
     # Per-gt best anchor(s) -> positive ("allow low quality matches").
-    per_gt_max = iou.max(axis=0)  # [G]
+    per_gt_max = iou.max(axis=1)  # [G]
     if allow_ties:
-        is_best = (iou == per_gt_max[None, :]) & gt_mask[None, :] & (
-            per_gt_max[None, :] > -1.0
+        is_best = (iou == per_gt_max[:, None]) & gt_mask[:, None] & (
+            per_gt_max[:, None] > -1.0
         )
-        best_any = is_best.any(axis=1)
+        best_any = is_best.any(axis=0)
     else:
-        per_gt_argmax = iou.argmax(axis=0)  # [G]
-        # .max, not .set: a padded gt's argmax over an all(-1) column is 0,
+        per_gt_argmax = iou.argmax(axis=1)  # [G]
+        # .max, not .set: a padded gt's argmax over an all(-1) row is 0,
         # and a duplicate-index scatter-set could clobber a real gt whose
         # best anchor is also 0 with False.
         best_any = (
@@ -143,10 +152,28 @@ def rpn_targets(
         neg_mask & (neg_rank >= total_quota - n_pos_kept), -1, labels
     )
 
+    # Encode tail in per-component (SoA) layout: the [A, 4]-minor form
+    # of gather + xy_to_cxcy + encode measured 1.84 ms/b2 at A=160k on
+    # v5e vs 0.03 ms like this (tools/microbench_encode_layout.py) —
+    # the arithmetic is unchanged (matched-row selection via a one-hot
+    # matvec is exact: one 0/1 coefficient per row). Anchor component
+    # slices constant-fold (anchors is a per-canvas constant).
     safe_arg = jnp.where(gt_mask.any(), iou_argmax, 0)
-    matched = gt_boxes[safe_arg]
-    reg = encode(xy_to_cxcy(matched), xy_to_cxcy(anchors), eps=1e-8)
-    reg = jnp.where((labels == 1)[:, None], reg, 0.0)
+    onehot = jax.nn.one_hot(safe_arg, gt_boxes.shape[0], dtype=jnp.float32)
+    mx1 = onehot @ gt_boxes[:, 0]
+    my1 = onehot @ gt_boxes[:, 1]
+    mx2 = onehot @ gt_boxes[:, 2]
+    my2 = onehot @ gt_boxes[:, 3]
+    ax1, ay1, ax2, ay2 = (anchors[:, i] for i in range(4))
+    aw = jnp.maximum(ax2 - ax1, 1e-8)
+    ah = jnp.maximum(ay2 - ay1, 1e-8)
+    pos = labels == 1
+    zero = jnp.zeros((a,), anchors.dtype)
+    tx = jnp.where(pos, ((mx1 + mx2) / 2.0 - (ax1 + ax2) / 2.0) / aw, zero)
+    ty = jnp.where(pos, ((my1 + my2) / 2.0 - (ay1 + ay2) / 2.0) / ah, zero)
+    tw = jnp.where(pos, jnp.log(jnp.maximum(mx2 - mx1, 1e-8) / aw), zero)
+    th = jnp.where(pos, jnp.log(jnp.maximum(my2 - my1, 1e-8) / ah), zero)
+    reg = jnp.stack([tx, ty, tw, th], axis=-1)
     return RPNTargets(labels=labels, reg_targets=reg)
 
 

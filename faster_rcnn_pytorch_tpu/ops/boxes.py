@@ -154,6 +154,42 @@ def masked_iou(
     return jnp.where(gt_mask[..., None, :], iou, -1.0)
 
 
+def masked_iou_gt_major(
+    gt: Array,
+    gt_mask: Array,
+    boxes: Array,
+    eps: float = 1e-5,
+) -> Array:
+    """Transposed masked IoU: ``[G, N]`` with the big ``N`` axis minor.
+
+    Same arithmetic as :func:`masked_iou` (the reference's eps-union
+    convention, utils/util.py:66-86) but laid out gt-major and computed
+    per box component, so no temporary carries a minor dim of 2 or 4.
+    On TPU a ``[N, 4]``-minor array tiles to (8, 128) lanes and wastes
+    97% of the bandwidth — the FPN target assignment at N=160k anchors
+    is layout-bound, not compute-bound
+    (tools/microbench_encode_layout.py: the [A, 4] encode tail alone
+    measures 1.84 ms vs 0.03 ms in component layout on v5e).
+
+    ``boxes`` is typically the canvas anchor constant, so its component
+    slices constant-fold at compile time. Padded gt rows
+    (``gt_mask == False``) get IoU ``-1`` like :func:`masked_iou`.
+    """
+    gx1 = gt[:, 0][:, None]
+    gy1 = gt[:, 1][:, None]
+    gx2 = gt[:, 2][:, None]
+    gy2 = gt[:, 3][:, None]
+    bx1 = boxes[:, 0][None, :]
+    by1 = boxes[:, 1][None, :]
+    bx2 = boxes[:, 2][None, :]
+    by2 = boxes[:, 3][None, :]
+    iw = jnp.clip(jnp.minimum(gx2, bx2) - jnp.maximum(gx1, bx1), 0.0, None)
+    ih = jnp.clip(jnp.minimum(gy2, by2) - jnp.maximum(gy1, by1), 0.0, None)
+    inter = iw * ih
+    union = (gx2 - gx1) * (gy2 - gy1) + (bx2 - bx1) * (by2 - by1) - inter + eps
+    return jnp.where(gt_mask[:, None], inter / union, -1.0)
+
+
 def clip_boxes(xy: Array, lo: float = 0.0, hi: float = 1.0) -> Array:
     """Clamp corner boxes into [lo, hi] (reference clamps rois to [0,1],
     models/model.py:34)."""

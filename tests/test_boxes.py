@@ -77,6 +77,19 @@ def test_masked_iou_excludes_padding(rng):
     assert (iou[:, :2] >= 0.0).all()
 
 
+def test_masked_iou_gt_major_matches_transpose(rng):
+    """The gt-major (layout-optimised) IoU must equal masked_iou.T
+    bit-for-bit — identical per-element arithmetic, different broadcast
+    orientation."""
+    boxes = jnp.asarray(boxes_fixture(rng, 33))
+    gt = jnp.asarray(boxes_fixture(rng, 5))
+    mask = jnp.array([True, True, True, False, False])
+    ref = np.asarray(B.masked_iou(boxes, gt, mask)).T
+    got = np.asarray(B.masked_iou_gt_major(gt, mask, boxes))
+    assert got.shape == (5, 33)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_batched_leading_dims(rng):
     a = jnp.asarray(boxes_fixture(rng, 12)).reshape(3, 4, 4)
     out = B.xy_to_cxcy(a)
