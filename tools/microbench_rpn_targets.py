@@ -1,8 +1,15 @@
-"""Attribute the FPN rpn_targets cost (~4 ms/b2 at 159,882 anchors).
+"""Attribute the FPN rpn_targets cost at 159,882 anchors.
 
 Times the full assignment, then its pieces in isolation: the masked IoU
 matrix, the two noise top_k rankings, the per-gt tie logic, and the
 encode tail — to find what actually costs at A=160k.
+
+NB: the piece rows intentionally keep the ORIGINAL [A, G]-major /
+[A, 4]-minor formulations — they are the historical attribution that
+led to the gt-major/SoA rewrite in models/targets.py (FULL 3.89 ->
+0.73 ms/b2 on v5e; see DESIGN.md §6 and
+tools/microbench_encode_layout.py). Only the FULL row runs the current
+code.
 
 Run: python tools/microbench_rpn_targets.py
 """
