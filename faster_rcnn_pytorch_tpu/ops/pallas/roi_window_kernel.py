@@ -34,7 +34,6 @@ rules, fuzz-tested against ``..roi_align.multiscale_roi_align_dense``.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -136,84 +135,53 @@ def roi_window_geometry(
 
 
 def _kernel(
-    win_y, win_x, p, k, yg_ref, xa_ref, wy_ref, wx_ref, feat_ref, out_ref,
+    win_y, win_x, p, yg_ref, xa_ref, wy_ref, wx_ref, feat_ref, out_ref,
     buf0, buf1, sem0, sem1,
 ):
-    """Grid = (ceil(n/k),) roi GROUPS of ``k``. Per-roi scalars:
-    global_row_start and x start (8-aligned) — two 1-D prefetch operands
-    (a single [n, 2] operand would be lane-padded to [n, 128] in SMEM,
-    64x the footprint, and overflows SMEM at the b8 train shape).
-    Double-buffered: the k window DMAs for group i+1 are in flight while
-    group i computes; within a group the k copies share one semaphore
-    (k starts, k waits) and the two interpolation contractions run
-    batched over the group's roi axis, amortising the per-grid-step
-    overhead k-fold (the k=1 kernel measured ~3.5 us/roi, ~2x its DMA
-    floor)."""
+    """Grid = (n,). Per-roi scalars: global_row_start and x start
+    (8-aligned) — two 1-D prefetch operands (a single [n, 2] operand
+    would be lane-padded to [n, 128] in SMEM, 64x the footprint, and
+    overflows SMEM at the b8 train shape). Double-buffered: the window
+    DMA for roi i+1 is in flight while roi i computes."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def copies(idx, buf, sem):
-        base = idx * k
-        out = []
-        for j in range(k):
-            yg = yg_ref[base + j]
-            xa = pl.multiple_of(xa_ref[base + j], 8)
-            out.append(
-                pltpu.make_async_copy(
-                    feat_ref.at[
-                        pl.ds(yg, win_y), pl.ds(xa, win_x), slice(None)
-                    ],
-                    buf.at[j] if k > 1 else buf,
-                    sem,
-                )
-            )
-        return out
-
-    def start(idx, buf, sem):
-        for cp in copies(idx, buf, sem):
-            cp.start()
+    def copy(idx, buf, sem):
+        yg = yg_ref[idx]
+        xa = pl.multiple_of(xa_ref[idx], 8)
+        return pltpu.make_async_copy(
+            feat_ref.at[pl.ds(yg, win_y), pl.ds(xa, win_x), slice(None)],
+            buf,
+            sem,
+        )
 
     @pl.when(i == 0)
     def _():
-        start(0, buf0, sem0)
+        copy(0, buf0, sem0).start()
 
     nxt = i + 1
 
     @pl.when((nxt < n) & (nxt % 2 == 0))
     def _():
-        start(nxt, buf0, sem0)
+        copy(nxt, buf0, sem0).start()
 
     @pl.when((nxt < n) & (nxt % 2 == 1))
     def _():
-        start(nxt, buf1, sem1)
+        copy(nxt, buf1, sem1).start()
 
     def compute(buf, sem):
-        for cp in copies(i, buf, sem):
-            cp.wait()
-        win = buf[:].astype(jnp.float32)  # [k?, win_y, win_x, c]
-        if k == 1:
-            # x-interp: [P, win_x] x [win_y, win_x, c] -> [P(q), win_y, c]
-            t1 = jax.lax.dot_general(
-                wx_ref[0], win, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # y-interp: [P, win_y] x [P(q), win_y, c] -> [P(p), P(q), c]
-            out_ref[0] = jax.lax.dot_general(
-                wy_ref[0], t1, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            # batched over the group: [k, P, win_x] x [k, win_y, win_x, c]
-            # -> [k, P(q), win_y, c]
-            t1 = jax.lax.dot_general(
-                wx_ref[...], win, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            # [k, P, win_y] x [k, P(q), win_y, c] -> [k, P(p), P(q), c]
-            out_ref[...] = jax.lax.dot_general(
-                wy_ref[...], t1, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+        copy(i, buf, sem).wait()
+        win = buf[:].astype(jnp.float32)  # [win_y, win_x, c]
+        # x-interp: [P, win_x] x [win_y, win_x, c] -> [P(q), win_y, c]
+        t1 = jax.lax.dot_general(
+            wx_ref[0], win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # y-interp: [P, win_y] x [P(q), win_y, c] -> [P(p), P(q), c]
+        out_ref[0] = jax.lax.dot_general(
+            wy_ref[0], t1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i % 2 == 0)
     def _():
@@ -517,8 +485,7 @@ def roi_window_align_bwd(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "strides", "output_size", "sampling_ratio", "win_base", "interpret",
-        "group",
+        "strides", "output_size", "sampling_ratio", "win_base", "interpret"
     ),
 )
 def roi_window_align(
@@ -529,7 +496,6 @@ def roi_window_align(
     sampling_ratio: int = 2,
     win_base: int = WIN_BASE,
     interpret: bool = False,
-    group: int | None = None,
 ) -> tuple[Array, Array]:
     """Kernel fast path over a batch of images.
 
@@ -560,55 +526,33 @@ def roi_window_align(
     ).reshape(b * sum_h, w_pad, c)
     buf = jnp.pad(buf, ((0, win_y), (0, 0), (0, 0)))
 
-    # k rois per grid step (FRT_ALIGN_FWD_K): amortises the per-step
-    # overhead and keeps k window DMAs in flight per buffer. Pad the
-    # roi axis to a multiple of k with zero-weight windows at buffer
-    # origin; the padded outputs are sliced off below.
-    k = group if group is not None else int(os.environ.get("FRT_ALIGN_FWD_K", "1"))
-    k = max(1, min(k, b * n))
-    total = b * n
-    n_pad = (-total) % k
-    wy = wy.reshape(total, p, win_y)
-    wx = wx.reshape(total, p, win_x)
-    if n_pad:
-        ybg = jnp.pad(ybg, (0, n_pad))
-        xb = jnp.pad(xb, (0, n_pad))
-        wy = jnp.pad(wy, ((0, n_pad), (0, 0), (0, 0)))
-        wx = jnp.pad(wx, ((0, n_pad), (0, 0), (0, 0)))
-
-    kernel = functools.partial(_kernel, win_y, win_x, p, k)
+    kernel = functools.partial(_kernel, win_y, win_x, p)
     pooled = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((total + n_pad, p, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * n, p, p, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=((total + n_pad) // k,),
+            grid=(b * n,),
             in_specs=[
                 pl.BlockSpec(
-                    (k, p, win_y),
+                    (1, p, win_y),
                     lambda i, *sc: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (k, p, win_x),
+                    (1, p, win_x),
                     lambda i, *sc: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (k, p, p, c), lambda i, *sc: (i, 0, 0, 0),
+                (1, p, p, c), lambda i, *sc: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM(
-                    ((k, win_y, win_x, c) if k > 1 else (win_y, win_x, c)),
-                    buf.dtype,
-                ),
-                pltpu.VMEM(
-                    ((k, win_y, win_x, c) if k > 1 else (win_y, win_x, c)),
-                    buf.dtype,
-                ),
+                pltpu.VMEM((win_y, win_x, c), buf.dtype),
+                pltpu.VMEM((win_y, win_x, c), buf.dtype),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -617,8 +561,8 @@ def roi_window_align(
     )(
         ybg,
         xb,
-        wy,
-        wx,
+        wy.reshape(b * n, p, win_y),
+        wx.reshape(b * n, p, win_x),
         buf,
     )
-    return pooled[:total].reshape(b, n, p, p, c), fits
+    return pooled.reshape(b, n, p, p, c), fits

@@ -5,7 +5,6 @@ models/model.py:97, models/new_model.py:127)."""
 import jax
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from faster_rcnn_pytorch_tpu.ops.roi_align import (
     roi_align,
@@ -338,15 +337,10 @@ def test_dense_folded_matches_dense_fuzz():
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("group_k", ["1", "3", "4"])
-def test_roi_window_kernel_matches_dense_fuzz(group_k, monkeypatch):
+def test_roi_window_kernel_matches_dense_fuzz():
     """v2 per-roi window-DMA kernel (interpret mode), composed with its
     compacted corner fallback, vs the dense oracle — including extreme
-    aspect ratios that overflow the window and clamped-level giants.
-    Parametrised over the roi-group size (FRT_ALIGN_FWD_K): 1 = the
-    ungrouped kernel, 3 = group does not divide the 90-roi total
-    (exercises the zero-weight padding), 4 = the default."""
-    monkeypatch.setenv("FRT_ALIGN_FWD_K", group_k)
+    aspect ratios that overflow the window and clamped-level giants."""
     from faster_rcnn_pytorch_tpu.ops.roi_align import (
         _batch_window_kernel,
         multiscale_roi_align_dense,
