@@ -31,6 +31,10 @@ class Options:
     num_classes: int = 21
     num_workers: int = 4
     batch_size: int = 1
+    # micro-batch gradient accumulation inside one jitted step (HBM
+    # relief for large global batches; 1 = off). The global batch must
+    # divide by grad_accum x data-mesh size.
+    grad_accum: int = 1
     # per-host eval batch; 0 = auto (the mesh's local data-axis size, so
     # the per-epoch eval runs SPMD over every chip; 1 off-mesh)
     eval_batch_size: int = 0

@@ -204,10 +204,19 @@ def main(argv=None) -> int:
         state, _ = load_checkpoint(opts.checkpoint, state)
         print0(f"loaded checkpoint {opts.checkpoint}")
 
+    accum = max(opts.grad_accum, 1)
+    local_data = max(mesh.devices.shape[0] // opts.num_hosts, 1)
+    if accum > 1 and per_host_batch % (accum * local_data) != 0:
+        raise SystemExit(
+            f"--grad_accum {accum}: per-host batch {per_host_batch} must "
+            f"divide by grad_accum x local data-mesh size "
+            f"({accum} x {local_data})"
+        )
     state = shard_tree(state, mesh)
     step_fn = make_train_step(
         model, cfg, optimizer, mesh,
         state_shardings=tree_shardings(state, mesh),
+        grad_accum=accum,
     )
     writer = ScalarWriter(opts.log_dir, opts.name, opts.log_backend)
     label_map = label_map_for(opts, coco_index)

@@ -124,7 +124,8 @@ def make_optimizer(
 
 
 def make_train_step(
-    model, cfg, optimizer, mesh, donate: bool = True, state_shardings=None
+    model, cfg, optimizer, mesh, donate: bool = True, state_shardings=None,
+    grad_accum: int = 1,
 ):
     """Build the jitted SPMD train step.
 
@@ -136,6 +137,16 @@ def make_train_step(
     over the global batch, so XLA emits the psum that replaces DDP's
     gradient all-reduce; with a model axis it additionally inserts the
     Megatron all-reduce after fc7 from the weight shardings alone.
+
+    ``grad_accum > 1`` splits the batch into that many micro-batches and
+    accumulates their gradients inside ONE jitted step (``lax.scan``)
+    before the single optimizer update — activation memory drops by the
+    accumulation factor while the update stays a global-batch-mean SGD
+    step. Micro-step RNGs are ``jax.random.split(rng, grad_accum)``;
+    logged metrics are micro-step means. The reference has no
+    counterpart (its recipes fit GPU memory at batch 1-4); on TPU this
+    is how the exp1 global batch trains when HBM bounds the per-step
+    batch. Requires ``batch % (grad_accum * mesh data size) == 0``.
     """
     repl = NamedSharding(mesh, P())
     if state_shardings is None:
@@ -173,10 +184,40 @@ def make_train_step(
         }
         return losses.total, metrics
 
+    def accumulate(params, batch, rng):
+        """Mean grads/metrics over ``grad_accum`` micro-batches.
+
+        Micro-batches are interleaved slices (``batch[i::grad_accum]``),
+        so each keeps the loader's shard layout and divides evenly over
+        the ``data`` axis.
+        """
+        a = grad_accum
+        micro = {
+            k: v.reshape((v.shape[0] // a, a) + v.shape[1:]).swapaxes(0, 1)
+            for k, v in batch.items()
+        }
+        rngs = jax.random.split(rng, a)
+
+        def body(carry, xs):
+            mb, step_rng = xs
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, step_rng
+            )
+            carry = jax.tree.map(jnp.add, carry, grads)
+            return carry, metrics
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        gsum, metrics = jax.lax.scan(body, zeros, (micro, rngs))
+        grads = jax.tree.map(lambda g: g / a, gsum)
+        return grads, jax.tree.map(lambda m: m.mean(0), metrics)
+
     def step_fn(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        if grad_accum > 1:
+            grads, metrics = accumulate(state.params, batch, rng)
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -459,3 +459,69 @@ def test_remat_fpn_backbone_matches_no_remat():
     np.testing.assert_allclose(v0, v1, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accum_matches_manual_micro_mean():
+    """--grad_accum 2: one step equals the mean of the two micro-batch
+    gradients (micro i = batch[i::2], rng = split(rng, 2)[i]) fed through
+    the same optimizer update."""
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
+        forward_train,
+        init_detector_params,
+    )
+
+    mesh1 = make_mesh(num_devices=1)
+    model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
+    params = init_detector_params(model, jax.random.key(0), canvas=TINY_CANVAS)
+    sched = make_lr_schedule("constant", 1e-3, 1, 1)
+    opt = make_optimizer(params, sched)
+
+    batch_np = tiny_batch(np.random.RandomState(11), b=4)
+    keys = ["image", "extent", "gt_boxes", "gt_labels", "gt_mask"]
+    batch = {k: np.asarray(v) for k, v in zip(keys, batch_np)}
+    rng = jax.random.key(21)
+
+    state = replicate(init_train_state(params, opt), mesh1)
+    step = make_train_step(
+        model, TINY_LEGACY, opt, mesh1, donate=False, grad_accum=2
+    )
+    new_state, metrics = step(state, shard_batch(batch, mesh1), rng)
+    assert int(new_state.step) == 1
+
+    def loss_fn(p, mb, r):
+        out = model.apply(
+            p,
+            TINY_LEGACY,
+            mb["image"],
+            mb["extent"],
+            mb["gt_boxes"],
+            mb["gt_labels"],
+            mb["gt_mask"],
+            r,
+            method=forward_train,
+        )
+        return out.losses.total
+
+    rngs = jax.random.split(rng, 2)
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    losses, grads = [], []
+    for i in range(2):
+        micro = {k: v[i::2] for k, v in batch.items()}
+        v, g = vg(params, {k: jnp.asarray(x) for k, x in micro.items()}, rngs[i])
+        losses.append(float(v))
+        grads.append(g)
+    mean_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = opt.update(mean_grads, state.opt_state, params)
+    import optax
+
+    expected = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(losses), rtol=1e-6
+    )
+    for got, want in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(expected)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5
+        )

@@ -45,9 +45,22 @@ def main():
     feats = jax.jit(lambda p, im: model.apply(p, im, method="features"))(
         params, images
     )
-    feats4 = tuple(f.astype(jnp.float32) for f in feats[:4])
+    # Keep the backbone's native bf16 — the production head path feeds
+    # the align bf16 features (half the window-DMA bytes). An earlier
+    # revision cast to f32 here and overstated the align rows ~2x
+    # (10.2 vs 4.7 ms fwd b2x512, 2026-08-19).
+    feats4 = tuple(feats[:4])
+    # Realistic proposal geometry: size log-uniform, aspect log-uniform
+    # in [1/3, 3] (anchor-shaped). Sampling w and h INDEPENDENTLY
+    # log-uniform (an earlier revision) creates ~60:1 slivers whose bin
+    # span overflows the window kernel at their assigned FPN level and
+    # routes them through the corner/dense fallbacks — that distribution
+    # measured 9.2 ms align fwd b2x512 vs 4.7 ms for this one. Real
+    # RPN proposals are anchor-shaped, not sliver-shaped.
     xy1 = rs.uniform(0, 600, size=(BATCH, N_ROIS, 2))
-    wh = np.exp(rs.uniform(np.log(8), np.log(500), size=(BATCH, N_ROIS, 2)))
+    size = np.exp(rs.uniform(np.log(16), np.log(400), size=(BATCH, N_ROIS, 1)))
+    aspect = np.exp(rs.uniform(np.log(1 / 3), np.log(3), size=(BATCH, N_ROIS, 1)))
+    wh = np.concatenate([size * np.sqrt(aspect), size / np.sqrt(aspect)], -1)
     rois = jnp.asarray(
         np.concatenate([xy1, np.minimum(xy1 + wh, CANVAS)], -1).astype(np.float32)
     )
@@ -99,7 +112,7 @@ def main():
     t, *_ = chain_time(align_fwd, args=(feats4, rois))
     print(f"align fwd (bin-window)      : {t * 1e3:8.2f} ms/b{BATCH}x{N_ROIS}")
     t, *_ = chain_time(align_fwdbwd, k_lo=2, k_hi=6, args=(feats4, rois))
-    print(f"align fwd+bwd (dense VJP)   : {t * 1e3:8.2f} ms")
+    print(f"align fwd+bwd (production)  : {t * 1e3:8.2f} ms")
     t, *_ = chain_time(align_dense_fwdbwd, k_lo=2, k_hi=6, args=(feats4, rois))
     print(f"align fwd+bwd (all dense)   : {t * 1e3:8.2f} ms")
     t, *_ = chain_time(backbone_fwdbwd, k_lo=2, k_hi=5, args=(params, images))
