@@ -524,6 +524,41 @@ def _single_corner(features, rois, strides, output_size, sampling_ratio):
     )
 
 
+def _corner_batch_chunked(features, rois, strides, output_size, sampling_ratio):
+    """``vmap(_single_corner)`` with the roi axis processed in fixed
+    chunks (``lax.map``), bounding the branch's gather + f32-convert
+    temporaries to ``FRT_ALIGN_FALLBACK_BUDGET`` bytes (default 1 GiB).
+
+    ``lax.cond`` allocates HBM as the MAX over branches, so the
+    exactness fallback's temporaries set the whole program's peak even
+    when the branch never executes — unchunked, the fallback's
+    ``[B*n*p^2*u^2, 2, 2, c]`` corner tensor is 18 GB at b16 x 1000
+    rois x 256 ch (measured OOM on a 16 GB v5e; 2026-08-20). Chunking
+    only reshapes the scan axis — same math per roi; XLA fuses the
+    lax.map body separately from a flat vmap, so outputs agree to a few
+    f32 ulps of the interpolation terms, not bitwise."""
+    import os
+
+    b, n = rois.shape[0], rois.shape[1]
+    c = features[0].shape[-1]
+    p, u = output_size, sampling_ratio
+    single = lambda f, r: _single_corner(  # noqa: E731
+        f, r, strides, output_size, sampling_ratio
+    )
+    budget = int(os.environ.get("FRT_ALIGN_FALLBACK_BUDGET", 1 << 30))
+    itemsize = jnp.dtype(features[0].dtype).itemsize
+    per_roi = b * (p * p * u * u) * 4 * c * (itemsize + 4)
+    m = max(1, min(n, budget // max(per_roi, 1)))
+    if m >= n:
+        return jax.vmap(single)(features, rois)
+    steps = -(-n // m)
+    rp = jnp.pad(rois, ((0, 0), (0, steps * m - n), (0, 0)))
+    rp = rp.reshape(b, steps, m, 4).transpose(1, 0, 2, 3)  # [steps,b,m,4]
+    out = jax.lax.map(lambda r: jax.vmap(single)(features, r), rp)
+    out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, steps * m, p, p, c)
+    return out[:, :n]
+
+
 def _single_fast(features, rois, strides, output_size, sampling_ratio):
     """Bin-window gather + compacted corner-window fallback for up to
     ``OVERSIZE_K`` oversized rois. Exact iff at most ``OVERSIZE_K`` rois
@@ -622,9 +657,9 @@ def _msra_batch_primal(
 
     level_dims = tuple((f.shape[1], f.shape[2]) for f in features)
     if min(min(d) for d in level_dims) < _BIN_WIN:
-        return jax.vmap(
-            lambda f, r: _single_corner(f, r, strides, output_size, sampling_ratio)
-        )(features, rois)
+        return _corner_batch_chunked(
+            features, rois, strides, output_size, sampling_ratio
+        )
     k = min(OVERSIZE_K, rois.shape[1])
 
     # The kernel's [win_y, win_x, c] VMEM windows need lane-aligned
@@ -660,9 +695,9 @@ def _msra_batch_primal(
     return jax.lax.cond(
         over <= k,
         fast,
-        lambda _: jax.vmap(
-            lambda f, r: _single_corner(f, r, strides, output_size, sampling_ratio)
-        )(features, rois),
+        lambda _: _corner_batch_chunked(
+            features, rois, strides, output_size, sampling_ratio
+        ),
         None,
     )
 

@@ -284,6 +284,37 @@ def test_multiscale_batch_matches_single():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+def test_corner_fallback_chunked_exact(monkeypatch):
+    """The chunked corner fallback (``FRT_ALIGN_FALLBACK_BUDGET`` bounds
+    the lax.cond fallback branch's temporaries — unbounded it OOMs the
+    chip at large batch) matches the unchunked vmap to fusion-order
+    rounding (the lax.map body compiles separately, so last-ulp f32
+    differences are expected), including a chunk size that does not
+    divide the roi count."""
+    import importlib
+
+    ra = importlib.import_module("faster_rcnn_pytorch_tpu.ops.roi_align")
+
+    rs = np.random.RandomState(53)
+    feats = tuple(
+        jnp.asarray(rs.normal(size=(2, s, s + 8, 6)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    xy1 = rs.uniform(-10, 250, size=(2, 90, 2))
+    wh = np.exp(rs.uniform(np.log(2), np.log(500), size=(2, 90, 2)))
+    rois = jnp.asarray(
+        np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
+    )
+    args = ((4, 8, 16, 32), 7, 2)
+    want = np.asarray(
+        jax.vmap(lambda f, r: ra._single_corner(f, r, *args))(feats, rois)
+    )
+    monkeypatch.setenv("FRT_ALIGN_FALLBACK_BUDGET", "500000")
+    got = np.asarray(ra._corner_batch_chunked(feats, rois, *args))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
 def test_multiscale_grad_matches_dense_grad():
     """The custom VJP (dense-matmul backward) must match autodiff of the
     dense formulation; rois carry zero gradient."""
