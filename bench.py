@@ -84,7 +84,14 @@ def bench_predict(generation: str, batch: int, iters: int) -> float:
 
     model, cfg = build_model(generation, num_classes=21 if generation == "legacy" else 91)
     rs = np.random.RandomState(0)
-    params = init_detector_params(model, jax.random.key(0))
+    from faster_rcnn_pytorch_tpu.utils.params import cast_inference_params
+
+    # Same one-time bf16 weight cast the eval/demo/serving paths apply
+    # (bit-identical predictions; hoists ~0.8 GB/step of HBM cast
+    # traffic out of the legacy step — utils/params.py).
+    params = cast_inference_params(
+        init_detector_params(model, jax.random.key(0)), model.dtype
+    )
     base = jnp.asarray(
         rs.normal(size=(batch, CANVAS, CANVAS, 3)).astype(np.float32)
     )

@@ -64,6 +64,14 @@ def demo(model, cfg, params, opts) -> list[dict]:
     colors = class_colors(len(names))
     thres = opts.thres  # used as-is, like the reference (demo.py:43)
 
+    # One-time fp32->bf16 weight cast (bit-identical; utils/params.py).
+    from faster_rcnn_pytorch_tpu.utils.params import (
+        cast_inference_params,
+        model_compute_dtype,
+    )
+
+    params = cast_inference_params(params, model_compute_dtype(model))
+
     @functools.partial(jax.jit)
     def predict_fn(p, image, extent):
         return model.apply(

@@ -111,6 +111,15 @@ def evaluate(
         max_detections = cfg.post_nms_test * (cfg.num_classes - 1)
     if max_detections is not None and max_detections != cfg.max_detections:
         cfg = dataclasses.replace(cfg, max_detections=max_detections)
+    # Hoist the per-step fp32->bf16 weight cast out of the jitted predict
+    # (bit-identical outputs; ~0.8 GB/step of HBM cast traffic for the
+    # legacy VGG16 — see utils/params.py).
+    from faster_rcnn_pytorch_tpu.utils.params import (
+        cast_inference_params,
+        model_compute_dtype,
+    )
+
+    params = cast_inference_params(params, model_compute_dtype(model))
     if mesh is not None and mesh.devices.size > 1:
         from faster_rcnn_pytorch_tpu.parallel.mesh import shard_tree
 

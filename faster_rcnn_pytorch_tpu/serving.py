@@ -63,6 +63,15 @@ def make_serving_fn(
     """Jitted ``(images, extents) -> packed [B, D, 7]`` with params
     closed over (they become baked constants under ``jax.export``)."""
     from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
+    from faster_rcnn_pytorch_tpu.utils.params import (
+        cast_inference_params,
+        model_compute_dtype,
+    )
+
+    # Bake bf16 weights instead of fp32 + an in-program cast: bit-equal
+    # outputs (utils/params.py), half the artifact size, and the per-step
+    # cast's HBM traffic disappears from every exported bucket.
+    params = cast_inference_params(params, model_compute_dtype(model))
 
     @jax.jit
     def serve(images, extents):
