@@ -40,10 +40,22 @@ def cast_inference_params(tree, dtype=jnp.bfloat16):
     if dtype == jnp.float32:
         return tree
 
+    from collections.abc import Mapping
+
+    _BN_KEYS = frozenset(("scale", "bias", "mean", "var"))
+
+    def _is_frozen_bn(node):
+        # Exactly the FrozenBatchNorm leaf group (models/resnet.py:45-48),
+        # all four entries array leaves — a module that merely *contains*
+        # children named mean/var still gets recursed into.
+        return frozenset(node) == _BN_KEYS and not any(
+            isinstance(v, Mapping) for v in node.values()
+        )
+
     def rec(node):
-        if isinstance(node, dict):
-            if "mean" in node and "var" in node:
-                return node
+        if isinstance(node, Mapping):  # dict or flax FrozenDict alike
+            if _is_frozen_bn(node):
+                return dict(node)
             return {k: rec(v) for k, v in node.items()}
         if hasattr(node, "dtype") and node.dtype == jnp.float32:
             return node.astype(dtype)

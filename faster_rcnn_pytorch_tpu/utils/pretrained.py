@@ -55,10 +55,130 @@ def cache_dir() -> str:
     return os.path.join(root, "checkpoints")
 
 
+#: smallest plausible size (bytes) for a released weight file — a Drive
+#: interstitial / proxy error page is a few KB; the real artifacts are
+#: 98 MB (resnet50) to ~1 GB (frcnn_demo).
+MIN_ARTIFACT_BYTES = 1 << 20
+
+
+class ArtifactValidationError(RuntimeError):
+    """Downloaded bytes are not a plausible checkpoint (HTML page,
+    truncated body, unknown format) — never cached."""
+
+
+def _looks_like_checkpoint(path: str) -> str | None:
+    """None if ``path`` plausibly holds torch/numpy weights, else a
+    human-readable reason it does not.
+
+    Accepted magics: zip (``PK\\x03\\x04`` — the modern
+    ``torch.save`` zipfile container), a pickle protocol-2+ stream
+    (``\\x80`` — legacy ``torch.save``, which the reference's released
+    ``.pth.tar`` files use), or a ustar tar. Rejected outright: HTML —
+    the Google-Drive large-file confirmation page that a cookie-less
+    ``urlretrieve`` receives (reference avoids this via gdown,
+    download_url_pretrained.py:6-17).
+    """
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(512)
+        f.seek(257)
+        tar_magic = f.read(5)
+    low = head.lstrip()[:256].lower()
+    if low.startswith(b"<") or b"<html" in low or b"<!doctype" in low:
+        return "got an HTML page (Google Drive interstitial / proxy error?)"
+    ok_magic = (
+        head.startswith(b"PK\x03\x04")
+        or head.startswith(b"\x80")
+        or tar_magic == b"ustar"
+    )
+    if not ok_magic:
+        return f"unrecognized leading bytes {head[:8]!r}"
+    if size < MIN_ARTIFACT_BYTES:
+        return f"implausibly small ({size} bytes < {MIN_ARTIFACT_BYTES})"
+    return None
+
+
+def _drive_confirm_request(body: bytes, url: str):
+    """Given the HTML of a Drive "can't scan for viruses" interstitial,
+    build the follow-up request that yields the real bytes.
+
+    Two historical shapes (both handled by gdown): a ``confirm=<token>``
+    query parameter advertised via a ``download_warning*`` cookie or an
+    ``confirm=`` href, and the current hidden-input form posting to
+    ``drive.usercontent.google.com/download``. Returns a full URL or
+    None when no continuation is recognizable.
+    """
+    import html as _html
+    import re
+    import urllib.parse
+
+    text = body.decode("utf-8", "replace")
+    m = re.search(r"<form[^>]+action=\"([^\"]+)\"", text)
+    if m:
+        # Drive serves the form action absolute
+        # (drive.usercontent.google.com); resolve relative ones anyway.
+        action = urllib.parse.urljoin(url, _html.unescape(m.group(1)))
+        fields = dict(
+            re.findall(
+                r"<input[^>]+type=\"hidden\"[^>]+name=\"([^\"]+)\"[^>]+value=\"([^\"]*)\"",
+                text,
+            )
+        )
+        fields = {k: _html.unescape(v) for k, v in fields.items()}
+        if fields:
+            sep = "&" if "?" in action else "?"
+            return action + sep + urllib.parse.urlencode(fields)
+    m = re.search(r"confirm=([0-9A-Za-z_\-]+)", text)
+    if m:
+        sep = "&" if "?" in url else "?"
+        return f"{url}{sep}confirm={m.group(1)}"
+    return None
+
+
+def _download(url: str, tmp: str) -> None:
+    """Stream ``url`` into ``tmp``, following one Drive confirm-token
+    interstitial if served. Raises :class:`ArtifactValidationError` when
+    the final body is HTML (so a captive page can never be cached)."""
+    import http.cookiejar
+    import shutil
+    import urllib.request
+
+    # Cookie jar: Drive's old-style confirm flow requires the session
+    # cookie from the interstitial to accompany the confirm request.
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar())
+    )
+
+    def get(u):
+        req = urllib.request.Request(u, headers={"User-Agent": "frcnn-tpu/1.0"})
+        return opener.open(req, timeout=60)
+
+    resp = get(url)
+    ctype = resp.headers.get("Content-Type", "")
+    if "text/html" in ctype:
+        body = resp.read(4 << 20)  # interstitials are a few KB
+        nxt = _drive_confirm_request(body, url)
+        if nxt is None:
+            raise ArtifactValidationError(
+                "server returned an HTML page with no recognizable "
+                "download continuation"
+            )
+        resp = get(nxt)
+        if "text/html" in resp.headers.get("Content-Type", ""):
+            raise ArtifactValidationError(
+                "confirm-token follow-up still returned HTML"
+            )
+    with open(tmp, "wb") as f:
+        shutil.copyfileobj(resp, f, 1 << 20)
+
+
 def fetch(name: str) -> str:
     """Return a local path for registry entry ``name``, downloading into
-    :func:`cache_dir` if absent. Raises ``RuntimeError`` with staging
-    instructions when the download fails (e.g. no network egress)."""
+    :func:`cache_dir` if absent. The downloaded bytes are validated
+    (magic + size, :func:`_looks_like_checkpoint`) BEFORE the atomic
+    rename, so a captive HTML response can never poison the cache.
+    Raises ``RuntimeError`` with staging instructions when the download
+    fails (e.g. no network egress)."""
     try:
         url, fname = CHECKPOINTS[name]
     except KeyError:
@@ -70,12 +190,14 @@ def fetch(name: str) -> str:
     if os.path.exists(dest):
         return dest
     os.makedirs(cache_dir(), exist_ok=True)
-    import urllib.request
 
     tmp = dest + ".part"
     try:
         print(f"downloading {url} -> {dest} ...")
-        urllib.request.urlretrieve(url, tmp)
+        _download(url, tmp)
+        reason = _looks_like_checkpoint(tmp)
+        if reason is not None:
+            raise ArtifactValidationError(reason)
         os.replace(tmp, dest)  # atomic: no truncated file on a re-run
     except Exception as e:  # noqa: BLE001 — any failure gets instructions
         if os.path.exists(tmp):

@@ -121,6 +121,46 @@ def test_fpn_precast_bitexact_and_bn_skipped():
     _assert_dets_equal(want, got)
 
 
+def test_frozendict_tree_is_cast():
+    """FrozenDict-rooted trees (older flax paths) must not silently
+    no-op — Mapping nodes are recursed like plain dicts."""
+    from flax.core import freeze
+
+    tree = freeze(
+        {
+            "params": {
+                "dense": {"kernel": jnp.ones((4, 4), jnp.float32)},
+                "bn": {
+                    "scale": jnp.ones((4,), jnp.float32),
+                    "bias": jnp.zeros((4,), jnp.float32),
+                    "mean": jnp.zeros((4,), jnp.float32),
+                    "var": jnp.ones((4,), jnp.float32),
+                },
+            }
+        }
+    )
+    cast = cast_inference_params(tree, jnp.bfloat16)
+    assert cast["params"]["dense"]["kernel"].dtype == jnp.bfloat16
+    for k in ("scale", "bias", "mean", "var"):
+        assert cast["params"]["bn"][k].dtype == jnp.float32
+
+
+def test_bn_skip_requires_exact_leaf_group():
+    """A module that merely CONTAINS children named mean/var is not a
+    FrozenBN group: its nested subtree must still be cast."""
+    tree = {
+        "odd_module": {
+            "mean": {"kernel": jnp.ones((2, 2), jnp.float32)},
+            "var": {"kernel": jnp.ones((2, 2), jnp.float32)},
+            "head": {"kernel": jnp.ones((2, 2), jnp.float32)},
+        }
+    }
+    cast = cast_inference_params(tree, jnp.bfloat16)
+    assert cast["odd_module"]["mean"]["kernel"].dtype == jnp.bfloat16
+    assert cast["odd_module"]["var"]["kernel"].dtype == jnp.bfloat16
+    assert cast["odd_module"]["head"]["kernel"].dtype == jnp.bfloat16
+
+
 def test_fp32_model_cast_is_noop():
     model, _ = build_model("legacy", num_classes=6, dtype=jnp.float32)
     params = init_detector_params(model, jax.random.key(0), canvas=CANVAS)

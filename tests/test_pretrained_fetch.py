@@ -47,15 +47,160 @@ def test_fetch_failure_names_url_and_dest(cache, monkeypatch):
     assert not os.path.exists(cache / "x.pth.part")  # no truncated leftover
 
 
+def _fake_ckpt_bytes() -> bytes:
+    """Plausible checkpoint payload: zip magic + padding past the
+    minimum-size validation threshold."""
+    return b"PK\x03\x04" + b"\0" * pt.MIN_ARTIFACT_BYTES
+
+
 def test_fetch_downloads_via_url(cache, tmp_path):
     src = tmp_path / "src.pth"
-    src.write_bytes(b"payload")
+    payload = _fake_ckpt_bytes()
+    src.write_bytes(payload)
     pt.CHECKPOINTS["_test"] = (f"file://{src}", "dl.pth")
     try:
         dest = pt.fetch("_test")
     finally:
         del pt.CHECKPOINTS["_test"]
-    assert open(dest, "rb").read() == b"payload"
+    assert open(dest, "rb").read() == payload
+
+
+def test_fetch_rejects_implausible_bytes(cache, tmp_path):
+    """A body that is neither zip nor pickle nor tar (e.g. a proxy's
+    plain-text error) must never be cached."""
+    src = tmp_path / "src.pth"
+    src.write_bytes(b"Bandwidth limit exceeded")
+    pt.CHECKPOINTS["_test"] = (f"file://{src}", "dl.pth")
+    try:
+        with pytest.raises(RuntimeError, match="unrecognized leading bytes"):
+            pt.fetch("_test")
+    finally:
+        del pt.CHECKPOINTS["_test"]
+    assert not os.path.exists(cache / "dl.pth")
+    assert not os.path.exists(cache / "dl.pth.part")
+
+
+def test_fetch_rejects_truncated_zip(cache, tmp_path):
+    """Right magic but implausibly small → rejected, not cached."""
+    src = tmp_path / "src.pth"
+    src.write_bytes(b"PK\x03\x04tiny")
+    pt.CHECKPOINTS["_test"] = (f"file://{src}", "dl.pth")
+    try:
+        with pytest.raises(RuntimeError, match="implausibly small"):
+            pt.fetch("_test")
+    finally:
+        del pt.CHECKPOINTS["_test"]
+    assert not os.path.exists(cache / "dl.pth")
+
+
+class _DriveHandler:
+    """Request handler factory simulating Google Drive's large-file
+    confirm-token interstitial (what gdown exists to handle,
+    reference download_url_pretrained.py:6-17)."""
+
+    import http.server as _hs
+
+    @classmethod
+    def make(cls, mode: str, payload: bytes):
+        class H(cls._hs.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+            def do_GET(self):
+                import urllib.parse
+
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query
+                )
+                confirmed = (
+                    "confirm" in q or self.path.startswith("/download")
+                )
+                if confirmed and mode != "html_forever":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "application/octet-stream"
+                    )
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
+                if mode == "form":
+                    body = (
+                        b"<!DOCTYPE html><html><body>"
+                        b"<form id=\"download-form\" action=\"/download\" method=\"get\">"
+                        b"<input type=\"hidden\" name=\"id\" value=\"14Obb\">"
+                        b"<input type=\"hidden\" name=\"export\" value=\"download\">"
+                        b"<input type=\"hidden\" name=\"confirm\" value=\"t\">"
+                        b"</form></body></html>"
+                    )
+                elif mode == "href":
+                    body = (
+                        b"<html><body><a href=\"/uc?export=download"
+                        b"&amp;confirm=abCD12&amp;id=14Obb\">Download anyway"
+                        b"</a></body></html>"
+                    )
+                else:  # html_forever: captive page with no continuation
+                    body = b"<html><body>Please sign in</body></html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return H
+
+
+@pytest.fixture()
+def fake_drive():
+    """Yields a factory: start a local server in ``mode`` and return its
+    base URL; all servers are torn down at test end."""
+    import http.server
+    import threading
+
+    servers = []
+
+    def start(mode: str, payload: bytes = b"") -> str:
+        srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), _DriveHandler.make(mode, payload)
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        return f"http://127.0.0.1:{srv.server_address[1]}"
+
+    yield start
+    for srv in servers:
+        srv.shutdown()
+        srv.server_close()
+
+
+@pytest.mark.parametrize("mode", ["form", "href"])
+def test_fetch_follows_drive_interstitial(cache, fake_drive, mode):
+    """The confirm-token interstitial (hidden-input form or confirm=
+    href) is followed to the real bytes, which are validated and
+    cached."""
+    payload = _fake_ckpt_bytes()
+    base = fake_drive(mode, payload)
+    pt.CHECKPOINTS["_drive"] = (f"{base}/uc?export=download&id=14Obb", "d.pth.tar")
+    try:
+        dest = pt.fetch("_drive")
+    finally:
+        del pt.CHECKPOINTS["_drive"]
+    assert open(dest, "rb").read() == payload
+
+
+def test_fetch_never_caches_interstitial(cache, fake_drive):
+    """A captive HTML page with no download continuation raises and
+    leaves the cache empty — the round-2 poisoning bug (plain
+    urlretrieve would have os.replace'd the HTML into the cache)."""
+    base = fake_drive("html_forever")
+    pt.CHECKPOINTS["_drive"] = (f"{base}/uc?export=download&id=14Obb", "d.pth.tar")
+    try:
+        with pytest.raises(RuntimeError, match="HTML"):
+            pt.fetch("_drive")
+    finally:
+        del pt.CHECKPOINTS["_drive"]
+    assert not os.path.exists(cache / "d.pth.tar")
+    assert not os.path.exists(cache / "d.pth.tar.part")
 
 
 def test_resolve_backbone_path_passthrough(tmp_path):
