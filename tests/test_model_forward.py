@@ -96,6 +96,7 @@ def test_legacy_train_forward(legacy):
     assert np.asarray(out.num_pos_roi) > 0  # gt appended => positives exist
 
 
+@pytest.mark.slow
 def test_legacy_train_grads_flow(legacy):
     model, params = legacy
     rs = np.random.RandomState(3)

@@ -223,6 +223,7 @@ def test_dp_fpn_train_step():
     assert changed >= 60
 
 
+@pytest.mark.slow
 def test_msra_batch_partitioned_over_mesh():
     """multiscale_roi_align_batch fwd+grad under an 8-device data mesh:
     the custom_partitioning rule must shard the batch dim (no
@@ -355,6 +356,7 @@ def test_roi_pool_batch_partitioned_over_mesh():
     )
 
 
+@pytest.mark.slow
 def test_remat_backbone_matches_no_remat():
     """--remat_backbone must be numerics-transparent: same loss, same
     gradients (recompute executes the identical ops), different only in
@@ -461,6 +463,7 @@ def test_remat_fpn_backbone_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_manual_micro_mean():
     """--grad_accum 2: one step equals the mean of the two micro-batch
     gradients (micro i = batch[i::2], rng = split(rng, 2)[i]) fed through

@@ -229,6 +229,7 @@ def test_resolve_backbone_typo_raises():
         pt.resolve_backbone("/no/such/weights.pth", "legacy")
 
 
+@pytest.mark.slow
 def test_checkpoint_pretrained_sentinel(cache):
     """--checkpoint pretrained fetches the released demo detector and
     imports it (reference models/model_.py:300-312 pretrained=True).

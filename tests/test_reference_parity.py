@@ -778,6 +778,7 @@ def _check_reference_strict_load(m, sd0, exported):
         np.testing.assert_array_equal(got, want, err_msg=k)
 
 
+@pytest.mark.slow
 def test_legacy_reverse_export_strict_load(ref):
     """export_legacy_torch_state_dict is the exact inverse of the import
     against the ACTUAL reference model: FRCNN.state_dict -> import ->

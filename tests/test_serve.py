@@ -340,6 +340,7 @@ def _jpeg_bytes(h, w, seed=0):
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_inference_server_detect(export_dir):
     server = InferenceServer(export_dir)
     out = server.detect(_jpeg_bytes(40, 90))
@@ -353,6 +354,7 @@ def test_inference_server_detect(export_dir):
     assert server.detect(_jpeg_bytes(40, 90), thres=1.1)["detections"] == []
 
 
+@pytest.mark.slow
 def test_http_server_end_to_end(export_dir):
     httpd = make_http_server(InferenceServer(export_dir), "127.0.0.1", 0)
     port = httpd.server_address[1]

@@ -43,6 +43,7 @@ def _tiny_model_params():
     return model, params
 
 
+@pytest.mark.slow
 def test_export_artifact_matches_direct_predict(tmp_path):
     """Serialize -> load -> call must equal the live jitted predict
     bit-for-bit (same program, params baked as constants)."""
@@ -112,6 +113,7 @@ def test_export_rejects_wrong_shape(tmp_path):
         call(bad, jnp.ones((1, 2), jnp.float32))
 
 
+@pytest.mark.slow
 def test_exported_detector_routes_by_shape(tmp_path):
     """ExportedDetector picks the artifact matching the input bucket and
     rejects unknown shapes."""

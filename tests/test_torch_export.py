@@ -51,6 +51,7 @@ def fpn_params():
     return init_detector_params(model, jax.random.key(1), canvas=CANVAS)
 
 
+@pytest.mark.slow
 def test_legacy_roundtrip_bit_exact(legacy_params):
     sd = export_legacy_torch_state_dict(legacy_params)
     back = import_legacy_torch_params(sd, num_classes=6)
@@ -91,6 +92,7 @@ def test_fpn_export_has_bn_buffers(fpn_params):
         assert sd[f"{p}.num_batches_tracked"].dtype == np.int64
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("generation", ["legacy", "fpn"])
 def test_save_torch_checkpoint_blob_roundtrip(
     tmp_path, generation, legacy_params, fpn_params

@@ -83,19 +83,33 @@ def main():
           f"({BATCH / t:.1f} img/s)")
 
     # ---- backbone fwd+bwd ----
-    def backbone_fwdbwd(i, p, im):
-        g = jax.grad(
-            lambda pp: (
-                model.apply(pp, im + i * 1e-4, method="features").astype(
-                    jnp.float32
-                )
-                ** 2
-            ).sum()
-        )(p)
-        return sum((x.astype(jnp.float32) ** 2).sum() for x in jax.tree.leaves(g))
+    # train=True engages the slab-batched stem exactly as the real train
+    # forward does (models/vgg.py _slab_factor); the plain-stem variant
+    # is timed too so the slab win stays visible in the table.
+    def backbone_fwdbwd(train):
+        def fn(i, p, im):
+            g = jax.grad(
+                lambda pp: (
+                    model.apply(
+                        pp, im + i * 1e-4, train, method="features"
+                    ).astype(jnp.float32)
+                    ** 2
+                ).sum()
+            )(p)
+            return sum(
+                (x.astype(jnp.float32) ** 2).sum() for x in jax.tree.leaves(g)
+            )
 
-    t, *_ = chain_time(backbone_fwdbwd, k_lo=2, k_hi=5, args=(params, images))
-    print(f"backbone fwd+bwd              : {t * 1e3:8.2f} ms")
+        return fn
+
+    t, *_ = chain_time(
+        backbone_fwdbwd(True), k_lo=2, k_hi=5, args=(params, images)
+    )
+    print(f"backbone fwd+bwd (slab stem)  : {t * 1e3:8.2f} ms")
+    t, *_ = chain_time(
+        backbone_fwdbwd(False), k_lo=2, k_hi=5, args=(params, images)
+    )
+    print(f"backbone fwd+bwd (plain stem) : {t * 1e3:8.2f} ms")
 
     feats = jax.jit(lambda p, im: model.apply(p, im, method="features"))(
         params, images
