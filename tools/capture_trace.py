@@ -139,34 +139,129 @@ def _xplane_paths(trace_dir: str) -> list[str]:
     )
 
 
-def summarize(trace_dir: str, top: int = 25) -> list[dict]:
-    """Convert the xplane proto to the profiler's framework-op table and
-    return the top rows by total self time."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+# ---- minimal protobuf wire-format reader for XSpace ----
+#
+# The image's tensorboard_plugin_profile converter is unusable here (its
+# pywrap entry point is absent from the installed TF build, and no
+# xplane_pb2 module ships anywhere), so the xplane.pb is read with a
+# ~60-line wire-format walker over the stable XSpace schema
+# (tsl/profiler/protobuf/xplane.proto): XSpace.planes=1; XPlane{name=2,
+# lines=3, event_metadata=4(map: key=1,value=2; XEventMetadata{id=1,
+# name=2})}; XLine{name=2, events=4}; XEvent{metadata_id=1,
+# duration_ps=3}.
 
+
+def _fields(buf: memoryview):
+    """Yield (field_number, wire_type, value) over one message."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                val |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        elif wire == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            val = buf[i : i + ln]
+            i += ln
+        elif wire == 5:  # fixed32
+            val = bytes(buf[i : i + 4])
+            i += 4
+        elif wire == 1:  # fixed64
+            val = bytes(buf[i : i + 8])
+            i += 8
+        else:
+            raise ValueError(f"wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_plane(buf: memoryview) -> dict:
+    name = ""
+    meta: dict[int, str] = {}
+    per_op_ps: dict[int, int] = {}
+    per_op_n: dict[int, int] = {}
+    for field, wire, val in _fields(buf):
+        if field == 2 and wire == 2:
+            name = bytes(val).decode("utf-8", "replace")
+        elif field == 4 and wire == 2:  # event_metadata map entry
+            mid, mname = 0, ""
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 0:
+                    mid = v2
+                elif f2 == 2 and w2 == 2:  # XEventMetadata
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 0:
+                            mid = v3
+                        elif f3 == 2 and w3 == 2:
+                            mname = bytes(v3).decode("utf-8", "replace")
+            meta[mid] = mname
+        elif field == 3 and wire == 2:  # XLine
+            for f2, w2, v2 in _fields(val):
+                if f2 == 4 and w2 == 2:  # XEvent
+                    mid = dur = 0
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 0:
+                            mid = v3
+                        elif f3 == 3 and w3 == 0:
+                            dur = v3
+                    per_op_ps[mid] = per_op_ps.get(mid, 0) + dur
+                    per_op_n[mid] = per_op_n.get(mid, 0) + 1
+    return {
+        "plane": name,
+        "ops": [
+            {
+                "op": meta.get(mid, f"#{mid}"),
+                "total_ms": ps / 1e9,
+                "count": per_op_n[mid],
+            }
+            for mid, ps in per_op_ps.items()
+        ],
+    }
+
+
+def summarize(trace_dir: str, top: int = 25) -> list[dict]:
+    """Aggregate per-op durations from the device planes of every
+    xplane.pb under ``trace_dir``; top rows by total time."""
     paths = _xplane_paths(trace_dir)
     if not paths:
         raise SystemExit(f"no xplane.pb under {trace_dir} — trace empty?")
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        paths, "framework_op_stats", {}
-    )
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    # The tool emits gviz JSON ({"cols": [...], "rows": [...]}) possibly
-    # with a JS prefix; find the outermost object.
-    start = data.find("{")
-    table = json.loads(data[start:])
-    cols = [c.get("label") or c.get("id") for c in table["cols"]]
-    rows = []
-    for r in table["rows"]:
-        vals = [c.get("v") if isinstance(c, dict) else c for c in r["c"]]
-        rows.append(dict(zip(cols, vals)))
-    # keep rank/occurrence/time columns only, top-N by total self time
-    key = next(
-        (c for c in cols if "self" in c.lower() and "time" in c.lower()), None
-    )
-    if key:
-        rows.sort(key=lambda r: -(r.get(key) or 0))
+    rows: list[dict] = []
+    for path in paths:
+        buf = memoryview(open(path, "rb").read())
+        for field, wire, val in _fields(buf):  # XSpace.planes = 1
+            if field == 1 and wire == 2:
+                plane = _parse_plane(val)
+                pname = plane["plane"]
+                # device planes only (host/python lines are not the
+                # witness we need)
+                if not ("TPU" in pname or "/device" in pname.lower()):
+                    continue
+                for op in plane["ops"]:
+                    rows.append({"plane": pname, **op})
+    rows.sort(key=lambda r: -r["total_ms"])
     return rows[:top]
 
 
