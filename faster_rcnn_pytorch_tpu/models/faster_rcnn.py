@@ -387,6 +387,11 @@ def predict(
     feats = model.features(images)
     rpn_cls, rpn_reg = model.rpn_out(feats)
 
+    # NB: an unrolled-over-batch propose was A/B'd end-to-end and
+    # reverted — isolated it wins 3.00 -> 1.84 ms/b2 at FPN shapes, but
+    # in the fused predict program the win shrinks to noise (20.0 ->
+    # 19.8 ms) and legacy b4 REGRESSES 23.9 -> 25.5 ms (the batched
+    # 5-operand sort beats 4 single-image sorts). DESIGN.md §6 round 3.
     props = jax.vmap(
         lambda c, r, e: propose(
             c,

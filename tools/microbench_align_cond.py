@@ -33,7 +33,12 @@ _enable_cache()
 
 from tools.chaintime import chain_time
 
-from faster_rcnn_pytorch_tpu.ops import roi_align as ra
+# ops/__init__ rebinds the package attr `roi_align` to the FUNCTION of
+# the same name, so plain `import ... as ra` yields the function; fetch
+# the module object itself.
+import importlib
+
+ra = importlib.import_module("faster_rcnn_pytorch_tpu.ops.roi_align")
 
 B, S, C = 2, 1000, 256
 CANVAS = 800
