@@ -58,6 +58,12 @@ class DetectorConfig:
     post_nms_test: int = 300
     rpn_nms_iou: float = 0.7
     rpn_nms_tile: int = 512
+    # Train-regime tile: the legacy 12000->2000 sweep halves with 1024
+    # tiles (1.93 -> 0.94 ms/b4 isolated — deeper sweep before the
+    # post_k early exit amortises bigger MXU IoU tiles), while every
+    # <=6000-candidate regime is fastest at 512 (tools note in
+    # DESIGN.md §6 round 3). 0 means "use rpn_nms_tile".
+    rpn_nms_tile_train: int = 0
     proposal_min_size: float = 1.0 / 1000.0
     # RoI sampling (models/model.py:144-158 / new_model.py:169-182).
     roi_samples: int = 128
@@ -77,7 +83,7 @@ class DetectorConfig:
     max_detections: int = 100
 
 
-LEGACY_CONFIG = DetectorConfig()
+LEGACY_CONFIG = DetectorConfig(rpn_nms_tile_train=1024)
 
 FPN_CONFIG = DetectorConfig(
     num_classes=91,
@@ -303,7 +309,7 @@ def forward_train(
             post_k=cfg.post_nms_train,
             nms_iou=cfg.rpn_nms_iou,
             min_size=cfg.proposal_min_size,
-            nms_tile=cfg.rpn_nms_tile,
+            nms_tile=cfg.rpn_nms_tile_train or cfg.rpn_nms_tile,
         )
         rpn_tg = rpn_targets(
             anchors,

@@ -78,7 +78,7 @@ def main():
     def targets_stage(mdl, im, rng):
         feats = mdl.features(im, True)
         rpn_cls, rpn_reg = mdl.rpn_out(feats)
-        rngs = jax.random.split(rng, BATCH * 2).reshape(BATCH, 2, -1)
+        rngs = jax.random.split(rng, (BATCH, 2))
 
         def per_image(c, r, e, b_, l_, m_, rr):
             props = propose(
