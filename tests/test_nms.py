@@ -224,3 +224,11 @@ def test_multiclass_nms_compact_and_fallback_agree():
     )
     for a, b in zip(compact, fallback):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_tile_size_invariance():
+    """NMS results are exact for ANY tile size (the tiled sweep is an
+    exact greedy decomposition) — guards rpn_nms_tile_train=1024
+    (models/faster_rcnn.py LEGACY_CONFIG, DESIGN.md §6 round 3)."""
+    for tile in (32, 64, 256, 512, 1024):
+        run_case(900, 0.7, 11, tile=tile, post_k=200)
