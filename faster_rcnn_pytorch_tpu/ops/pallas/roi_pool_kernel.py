@@ -28,7 +28,16 @@ Array = jax.Array
 
 
 def _roi_pool_kernel(
-    output_size, k_h, k_w_al, h, w_pad, with_argmax, bounds_ref, feat_ref, *outs
+    output_size,
+    k_h,
+    k_w_al,
+    h,
+    w_pad,
+    with_argmax,
+    bounds_ref,
+    feat_ref,
+    *outs,
+    batched=False,
 ):
     out_ref = outs[0]
     arg_ref = outs[1] if with_argmax else None
@@ -53,7 +62,10 @@ def _roi_pool_kernel(
             wh = bounds_ref[i, 3 * output_size + pw]
             wl_a = jnp.clip((wl // 8) * 8, 0, w_pad - k_w_al)
             wl_a = pl.multiple_of(wl_a, 8)
-            window = feat_ref[pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :]
+            if batched:  # feature block [1, h, w_pad, c]
+                window = feat_ref[0, pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :]
+            else:
+                window = feat_ref[pl.ds(hl_c, k_h), pl.ds(wl_a, k_w_al), :]
             ok = (
                 (row_ids + hl_c >= hl)
                 & (row_ids + hl_c < hh)
@@ -257,6 +269,134 @@ def _roi_pool_bwd_pallas(argmax, g, h, w, output_size, bounds, interpret):
         interpret=interpret,
     )(bounds, g.astype(jnp.float32), argmax)
     return dfeat[:, :w, :]
+
+
+def _roi_pool_batch_pallas_impl(
+    features: Array,
+    rois: Array,
+    spatial_scale: float,
+    output_size: int,
+    interpret: bool,
+    with_argmax: bool,
+):
+    """Whole-batch launch: ONE custom call with grid ``(b*n,)`` and the
+    per-image feature block selected by ``i // n`` in the index map.
+
+    The vmapped per-image launch lowers to an XLA while loop over the
+    batch (one kernel call + a dynamic-update-slice of the [B,n,P,P,c]
+    carry per image) that the round-3 trace prices at ~2.3 ms/step on
+    legacy predict b4 — pure loop/stitch overhead on top of the 2.2 ms
+    of kernel compute. Grid-major ordering re-DMAs the feature block
+    only when the image index changes (B reloads total).
+    """
+    b, h, w, c = features.shape
+    n = rois.shape[1]
+    all_bounds = jax.vmap(
+        lambda r: _compute_bounds(r, spatial_scale, output_size, h, w)
+    )(rois).reshape(b * n, 4 * output_size)
+
+    w_pad = -(-w // 8) * 8
+    k_h = min(-(-(h + 1) // output_size) + 1, h)
+    k_w = min(-(-(w + 1) // output_size) + 1, w)
+    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    feats = jnp.pad(
+        features.astype(jnp.float32), ((0, 0), (0, 0), (0, w_pad - w), (0, 0))
+    )
+
+    kernel = functools.partial(
+        _roi_pool_kernel,
+        output_size,
+        k_h,
+        k_w_al,
+        h,
+        w_pad,
+        with_argmax,
+        batched=True,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct(
+            (b * n, output_size, output_size, c), jnp.float32
+        )
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, output_size, output_size, c),
+            lambda i, bnds: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if with_argmax:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (b * n, output_size, output_size, c), jnp.int32
+            )
+        )
+        out_specs.append(out_specs[0])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h, w_pad, c),
+                    lambda i, bnds: (i // n, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=tuple(out_specs),
+        ),
+        interpret=interpret,
+    )(all_bounds, feats)
+    out = outs[0].reshape(b, n, output_size, output_size, c).astype(
+        features.dtype
+    )
+    if with_argmax:
+        return out, outs[1].reshape(b, n, output_size, output_size, c)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def roi_pool_pallas_batch(
+    features: Array,
+    rois: Array,
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+    interpret: bool = False,
+) -> Array:
+    """Batched twin of :func:`roi_pool_pallas`: features ``[B, h, w, c]``,
+    rois ``[B, n, 4]`` -> ``[B, n, P, P, c]`` in one kernel launch."""
+    return _roi_pool_batch_pallas_impl(
+        features, rois, spatial_scale, output_size, interpret, False
+    )
+
+
+def _roi_pool_batch_fwd(features, rois, spatial_scale, output_size, interpret):
+    out, argmax = _roi_pool_batch_pallas_impl(
+        features, rois, spatial_scale, output_size, interpret, True
+    )
+    token = jnp.zeros(features.shape[1:3] + (0,), features.dtype)
+    return out, (argmax, rois, token)
+
+
+def _roi_pool_batch_bwd(
+    spatial_scale, output_size, interpret, residuals, g
+):
+    argmax, rois, token = residuals
+    h, w = token.shape[:2]
+
+    def per_image(r, a, gg):
+        bounds = _compute_bounds(r, spatial_scale, output_size, h, w)
+        return _roi_pool_bwd_pallas(
+            a, gg, h, w, output_size, bounds, interpret
+        )
+
+    dfeat = jax.vmap(per_image)(rois, argmax, g)
+    return dfeat.astype(token.dtype), None
+
+
+roi_pool_pallas_batch.defvjp(_roi_pool_batch_fwd, _roi_pool_batch_bwd)
 
 
 def _roi_pool_fwd(features, rois, spatial_scale, output_size, interpret):

@@ -68,3 +68,50 @@ def test_roi_pool_kernel_degenerate_rois():
     got = np.asarray(roi_pool_pallas(feat, rois, 1.0, 7, True))
     want = np.asarray(roi_pool(feat, rois, 1.0))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_roi_pool_batch_kernel_matches_per_image():
+    """Whole-batch launch (grid b*n, i//n feature indexing) must match
+    the per-image kernel exactly, fwd and grad — guards the batched
+    dispatch in ops/roi_pool._roi_pool_batch_primal."""
+    import jax
+
+    from faster_rcnn_pytorch_tpu.ops.pallas.roi_pool_kernel import (
+        roi_pool_pallas_batch,
+    )
+
+    rs = np.random.RandomState(7)
+    b, n = 3, 6
+    feat = jnp.asarray(rs.normal(size=(b, 21, 15, 128)).astype(np.float32))
+    rois = jnp.stack(
+        [jnp.asarray(rand_rois(rs, n, 21, 15)) for _ in range(b)]
+    )
+
+    got = np.asarray(roi_pool_pallas_batch(feat, rois, 1.0, 7, True))
+    want = np.stack(
+        [
+            np.asarray(roi_pool_pallas(feat[i], rois[i], 1.0, 7, True))
+            for i in range(b)
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+
+    g_out = jnp.asarray(
+        rs.normal(size=(b, n, 7, 7, 128)).astype(np.float32)
+    )
+
+    def loss_batch(f):
+        return (roi_pool_pallas_batch(f, rois, 1.0, 7, True) * g_out).sum()
+
+    def loss_per_image(f):
+        out = jnp.stack(
+            [
+                roi_pool_pallas(f[i], rois[i], 1.0, 7, True)
+                for i in range(b)
+            ]
+        )
+        return (out * g_out).sum()
+
+    gb = np.asarray(jax.grad(loss_batch)(feat))
+    gi = np.asarray(jax.grad(loss_per_image)(feat))
+    np.testing.assert_allclose(gb, gi, atol=1e-5)
