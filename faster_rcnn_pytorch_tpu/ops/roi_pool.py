@@ -156,11 +156,19 @@ def roi_pool_lax(
 
 
 def _roi_pool_batch_primal(features, rois, spatial_scale, output_size):
-    if use_pallas_ops():
-        # One whole-batch kernel launch: the vmapped per-image dispatch
-        # lowers to an XLA while loop costing ~2.3 ms/step of pure
-        # loop/stitch overhead at legacy predict b4 (round-3 trace;
-        # roi_pool_kernel._roi_pool_batch_pallas_impl).
+    # SMEM ceiling for the whole-batch launch: its scalar-prefetch
+    # bounds array is [b*n, 4*P] s32, lane-padded to 128 columns — at
+    # b8 x 300 rois that is 1.2 MB > the 1 MiB SMEM and compilation
+    # fails ("prefetched SMEM operand would exceed memory"). Gate on
+    # the padded size with headroom; larger batches use the vmapped
+    # per-image launch (one [n, 4*P] prefetch per call).
+    b, n = rois.shape[:2]
+    batched_smem_ok = b * n * 128 * 4 <= (1 << 19)
+    if use_pallas_ops() and batched_smem_ok:
+        # One whole-batch kernel launch instead of the vmapped
+        # per-image dispatch's XLA while loop (perf tie, DESIGN.md §6
+        # round 3; kept as the batch-native form the SPMD rules
+        # dispatch — roi_pool_kernel._roi_pool_batch_pallas_impl).
         from faster_rcnn_pytorch_tpu.ops.pallas.roi_pool_kernel import (
             roi_pool_pallas_batch,
         )
