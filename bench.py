@@ -282,14 +282,18 @@ def main() -> None:
 
     full = os.environ.get("FRT_BENCH_FULL", "1") != "0"
     subproc = os.environ.get("FRT_BENCH_SUBPROC", "1") != "0"
-    timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "900"))
+    # Row timeout must cover a COLD-compile-cache headline run on a new
+    # host (full-model compiles through the tunnel take many minutes —
+    # the round-2 bench died exactly this way); the global budget keeps
+    # the whole sweep inside the driver's clock regardless.
+    timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "1200"))
     # Global wall-clock budget: the driver's own clock is finite, and a
     # bench that gets SIGKILLed mid-sweep records whatever line printed
     # last. Every row after the budget expires emits {"skipped":
     # "budget"} instead of blocking, and the headline row — measured
     # FIRST, while the clock is freshest — is re-printed as the FINAL
     # line (the one the driver records).
-    budget_s = float(os.environ.get("FRT_BENCH_BUDGET", "1200"))
+    budget_s = float(os.environ.get("FRT_BENCH_BUDGET", "1500"))
     t_start = time.perf_counter()
 
     def remaining() -> float:

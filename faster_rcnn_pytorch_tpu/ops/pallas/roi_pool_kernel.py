@@ -116,6 +116,48 @@ def _compute_bounds(rois, spatial_scale, output_size, h, w):
     return jnp.concatenate([h_lo, h_hi, w_lo, w_hi], axis=1)
 
 
+def _window_geometry(h: int, w: int, output_size: int):
+    """Static window geometry shared by the per-image and whole-batch
+    launches AND the backward kernel. Dispatch between the forward
+    launches is batch-size-dependent (ops/roi_pool.py SMEM gate), so
+    these formulas must never diverge between copies.
+
+    The window must absorb the <=7-column start alignment shift AND
+    itself be a multiple of 8 so that the clip bound ``w_pad - k_w_al``
+    stays 8-aligned (``pl.multiple_of`` is an assertion to the
+    compiler, not a rounding).
+    """
+    w_pad = -(-w // 8) * 8
+    k_h = min(-(-(h + 1) // output_size) + 1, h)
+    k_w = min(-(-(w + 1) // output_size) + 1, w)
+    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    return w_pad, k_h, k_w_al
+
+
+def _pooled_out_specs(n_rows: int, output_size: int, c: int, with_argmax: bool):
+    """out_shape/out_specs for ``n_rows`` pooled [P, P, c] blocks."""
+    shapes = [
+        jax.ShapeDtypeStruct(
+            (n_rows, output_size, output_size, c), jnp.float32
+        )
+    ]
+    specs = [
+        pl.BlockSpec(
+            (1, output_size, output_size, c),
+            lambda i, b: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if with_argmax:
+        shapes.append(
+            jax.ShapeDtypeStruct(
+                (n_rows, output_size, output_size, c), jnp.int32
+            )
+        )
+        specs.append(specs[0])
+    return shapes, specs
+
+
 def _roi_pool_pallas_impl(
     features: Array,
     rois: Array,
@@ -128,13 +170,7 @@ def _roi_pool_pallas_impl(
     n = rois.shape[0]
     all_bounds = _compute_bounds(rois, spatial_scale, output_size, h, w)
 
-    w_pad = -(-w // 8) * 8
-    k_h = min(-(-(h + 1) // output_size) + 1, h)
-    k_w = min(-(-(w + 1) // output_size) + 1, w)
-    # Window must absorb the <=7-column start alignment shift AND itself be
-    # a multiple of 8 so that the clip bound w_pad - k_w_al stays 8-aligned
-    # (pl.multiple_of is an assertion to the compiler, not a rounding).
-    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    w_pad, k_h, k_w_al = _window_geometry(h, w, output_size)
     feats = jnp.pad(
         features.astype(jnp.float32), ((0, 0), (0, w_pad - w), (0, 0))
     )
@@ -142,21 +178,7 @@ def _roi_pool_pallas_impl(
     kernel = functools.partial(
         _roi_pool_kernel, output_size, k_h, k_w_al, h, w_pad, with_argmax
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((n, output_size, output_size, c), jnp.float32)
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            (1, output_size, output_size, c),
-            lambda i, b: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
-    if with_argmax:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((n, output_size, output_size, c), jnp.int32)
-        )
-        out_specs.append(out_specs[0])
+    out_shapes, out_specs = _pooled_out_specs(n, output_size, c, with_argmax)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -237,10 +259,7 @@ def _roi_pool_bwd_pallas(argmax, g, h, w, output_size, bounds, interpret):
     Replaces an XLA scatter-add of n*49*c elements, which dominates the
     whole train step on TPU (scatters serialize)."""
     n, _, _, c = g.shape
-    w_pad = -(-w // 8) * 8
-    k_h = min(-(-(h + 1) // output_size) + 1, h)
-    k_w = min(-(-(w + 1) // output_size) + 1, w)
-    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    w_pad, k_h, k_w_al = _window_geometry(h, w, output_size)
     kernel = functools.partial(
         _roi_pool_bwd_kernel, output_size, k_h, k_w_al, h, w_pad
     )
@@ -295,10 +314,7 @@ def _roi_pool_batch_pallas_impl(
         lambda r: _compute_bounds(r, spatial_scale, output_size, h, w)
     )(rois).reshape(b * n, 4 * output_size)
 
-    w_pad = -(-w // 8) * 8
-    k_h = min(-(-(h + 1) // output_size) + 1, h)
-    k_w = min(-(-(w + 1) // output_size) + 1, w)
-    k_w_al = min(-(-(k_w + 7) // 8) * 8, w_pad)
+    w_pad, k_h, k_w_al = _window_geometry(h, w, output_size)
     feats = jnp.pad(
         features.astype(jnp.float32), ((0, 0), (0, 0), (0, w_pad - w), (0, 0))
     )
@@ -313,25 +329,9 @@ def _roi_pool_batch_pallas_impl(
         with_argmax,
         batched=True,
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct(
-            (b * n, output_size, output_size, c), jnp.float32
-        )
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            (1, output_size, output_size, c),
-            lambda i, bnds: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
-    if with_argmax:
-        out_shapes.append(
-            jax.ShapeDtypeStruct(
-                (b * n, output_size, output_size, c), jnp.int32
-            )
-        )
-        out_specs.append(out_specs[0])
+    out_shapes, out_specs = _pooled_out_specs(
+        b * n, output_size, c, with_argmax
+    )
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),

@@ -108,26 +108,43 @@ def _drive_confirm_request(body: bytes, url: str):
     ``drive.usercontent.google.com/download``. Returns a full URL or
     None when no continuation is recognizable.
     """
-    import html as _html
+    import html.parser
     import re
     import urllib.parse
 
     text = body.decode("utf-8", "replace")
-    m = re.search(r"<form[^>]+action=\"([^\"]+)\"", text)
-    if m:
+
+    class _FormParser(html.parser.HTMLParser):
+        """First form's action + its named inputs — attribute order is
+        not contractual in Drive's markup, so a real parser, not a
+        regex (gdown does the same for the same reason)."""
+
+        def __init__(self):
+            super().__init__()
+            self.action = None
+            self.fields: dict[str, str] = {}
+            self._in_form = False
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "form" and self.action is None and a.get("action"):
+                self.action = a["action"]
+                self._in_form = True
+            elif tag == "input" and self._in_form and a.get("name"):
+                self.fields[a["name"]] = a.get("value") or ""
+
+        def handle_endtag(self, tag):
+            if tag == "form":
+                self._in_form = False
+
+    p = _FormParser()
+    p.feed(text)
+    if p.action and p.fields:
         # Drive serves the form action absolute
         # (drive.usercontent.google.com); resolve relative ones anyway.
-        action = urllib.parse.urljoin(url, _html.unescape(m.group(1)))
-        fields = dict(
-            re.findall(
-                r"<input[^>]+type=\"hidden\"[^>]+name=\"([^\"]+)\"[^>]+value=\"([^\"]*)\"",
-                text,
-            )
-        )
-        fields = {k: _html.unescape(v) for k, v in fields.items()}
-        if fields:
-            sep = "&" if "?" in action else "?"
-            return action + sep + urllib.parse.urlencode(fields)
+        action = urllib.parse.urljoin(url, p.action)
+        sep = "&" if "?" in action else "?"
+        return action + sep + urllib.parse.urlencode(p.fields)
     m = re.search(r"confirm=([0-9A-Za-z_\-]+)", text)
     if m:
         sep = "&" if "?" in url else "?"

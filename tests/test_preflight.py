@@ -86,7 +86,7 @@ def test_voc_layout_size_mismatch_detected(tmp_path):
         / "JPEGImages" / "im000.jpg"
     )
     Image.fromarray(np.zeros((50, 50, 3), np.uint8)).save(bad)
-    with pytest.raises(AssertionError, match="size"):
+    with pytest.raises(SystemExit, match="size"):
         check_voc_layout(str(tmp_path))
 
 

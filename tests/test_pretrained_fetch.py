@@ -125,12 +125,16 @@ class _DriveHandler:
                     self.wfile.write(payload)
                     return
                 if mode == "form":
+                    # NB: mixed attribute orders on purpose — Drive's
+                    # markup does not guarantee type-before-name, so the
+                    # client must parse, not pattern-match.
                     body = (
                         b"<!DOCTYPE html><html><body>"
                         b"<form id=\"download-form\" action=\"/download\" method=\"get\">"
                         b"<input type=\"hidden\" name=\"id\" value=\"14Obb\">"
-                        b"<input type=\"hidden\" name=\"export\" value=\"download\">"
-                        b"<input type=\"hidden\" name=\"confirm\" value=\"t\">"
+                        b"<input name=\"export\" type=\"hidden\" value=\"download\">"
+                        b"<input value=\"t\" name=\"confirm\" type=\"hidden\">"
+                        b"<input name=\"uuid\" value=\"ab-12\" type=\"hidden\">"
                         b"</form></body></html>"
                     )
                 elif mode == "href":

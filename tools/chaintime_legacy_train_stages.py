@@ -85,7 +85,7 @@ def main():
                 c, r, anchors, e,
                 pre_k=cfg.pre_nms_train, post_k=cfg.post_nms_train,
                 nms_iou=cfg.rpn_nms_iou, min_size=cfg.proposal_min_size,
-                nms_tile=cfg.rpn_nms_tile,
+                nms_tile=cfg.rpn_nms_tile_train or cfg.rpn_nms_tile,
             )
             tg = rpn_targets(
                 anchors, b_, m_, e, rr[0],

@@ -68,12 +68,16 @@ def check_voc_layout(root: str) -> dict:
         r = recs[0]
         with Image.open(r.image_path) as im:
             w, h = im.size
-        assert (w, h) == (r.width, r.height), (
-            f"[preflight] {r.image_path}: XML size {(r.width, r.height)} != "
-            f"actual {(w, h)}"
-        )
-        if len(r.boxes):
-            assert r.boxes[:, 2].max() <= r.width and r.boxes[:, 3].max() <= r.height, (
+        if (w, h) != (r.width, r.height):
+            raise SystemExit(
+                f"[preflight] {r.image_path}: XML size "
+                f"{(r.width, r.height)} != actual {(w, h)}"
+            )
+        if len(r.boxes) and not (
+            r.boxes[:, 2].max() <= r.width
+            and r.boxes[:, 3].max() <= r.height
+        ):
+            raise SystemExit(
                 f"[preflight] {r.image_path}: boxes exceed image bounds"
             )
     return report
@@ -111,9 +115,10 @@ def check_coco_layout(root: str) -> dict:
             )
         with Image.open(r.image_path) as im:
             w, h = im.size
-        assert (w, h) == (r.width, r.height), (
-            f"[preflight] {r.image_path}: index size mismatch"
-        )
+        if (w, h) != (r.width, r.height):
+            raise SystemExit(
+                f"[preflight] {r.image_path}: index size mismatch"
+            )
     return report
 
 

@@ -151,7 +151,7 @@ def main():
                 post_k=cfg.post_nms_train,
                 nms_iou=cfg.rpn_nms_iou,
                 min_size=cfg.proposal_min_size,
-                nms_tile=cfg.rpn_nms_tile,
+                nms_tile=cfg.rpn_nms_tile_train or cfg.rpn_nms_tile,
             )
         )(c, r, extents)
         return p.rois.sum() + p.valid.sum()
