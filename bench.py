@@ -72,7 +72,9 @@ def _run_pipelined(fn, feed, iters: int) -> float:
     return time.perf_counter() - t0
 
 
-def bench_predict(generation: str, batch: int, iters: int) -> float:
+def _predict_setup(generation: str, batch: int, iters: int):
+    """Model + jitted predict fn + ``iters + WARMUP`` device-resident
+    inputs, shared by the throughput and latency predict benches."""
     import jax
     import jax.numpy as jnp
 
@@ -103,13 +105,31 @@ def bench_predict(generation: str, batch: int, iters: int) -> float:
     extents = jnp.ones((batch, 2), jnp.float32)
 
     @jax.jit
-    def fn(params, images, extents):
-        return model.apply(params, cfg, images, extents, method=predict)
+    def fn(im):
+        return model.apply(params, cfg, im, extents, method=predict)
 
-    elapsed = _run_pipelined(
-        lambda im: fn(params, im, extents), lambda i: (images[i],), iters
-    )
+    return fn, images
+
+
+def bench_predict(generation: str, batch: int, iters: int) -> float:
+    fn, images = _predict_setup(generation, batch, iters)
+    elapsed = _run_pipelined(lambda im: fn(im), lambda i: (images[i],), iters)
     return batch * iters / elapsed
+
+
+def bench_predict_latency_p50(generation: str, iters: int) -> float:
+    """Synchronous batch-1 p50 latency (ms/image): every step fetches
+    its output to the host before the next dispatch — the serving
+    regime a single in-flight request sees (includes tunnel RTT)."""
+    fn, images = _predict_setup(generation, batch=1, iters=iters)
+    for i in range(WARMUP):
+        _sync(fn(images[i]))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(images[WARMUP + i]))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1000.0
 
 
 def bench_train(generation: str, batch: int, iters: int) -> float:
@@ -169,49 +189,70 @@ def bench_train(generation: str, batch: int, iters: int) -> float:
     return batch * iters / elapsed
 
 
-#: name -> (callable, metric, headline?). The headline row is MEASURED
-#: first and RE-printed as the final JSON line (the driver records the
-#: final line; measuring it first keeps it inside any external clock).
+#: name -> (callable, metric, headline?, unit). The headline row is
+#: MEASURED first and RE-printed as the final JSON line (the driver
+#: records the final line; measuring it first keeps it inside any
+#: external clock). The fpn_predict_b8 / b1-latency rows record the
+#: SERVING regime (batch >= 4 for FPN throughput; single-request p50)
+#: alongside the reference-recipe batches.
 ROWS = {
     "legacy_train_b4": (
         lambda: bench_train("legacy", batch=4, iters=20),
         "legacy_vgg16_train_800px_b4_images_per_sec",
         False,
+        "images/sec/chip",
     ),
     "legacy_train_b8": (
         lambda: bench_train("legacy", batch=8, iters=10),
         "legacy_vgg16_train_800px_b8_images_per_sec",
         False,
+        "images/sec/chip",
     ),
     "fpn_predict_b2": (
         lambda: bench_predict("fpn", batch=2, iters=30),
         "fpn_resnet50_predict_800px_b2_images_per_sec",
         False,
+        "images/sec/chip",
+    ),
+    "fpn_predict_b8": (
+        lambda: bench_predict("fpn", batch=8, iters=15),
+        "fpn_resnet50_predict_800px_b8_images_per_sec",
+        False,
+        "images/sec/chip",
+    ),
+    "fpn_predict_b1_latency": (
+        lambda: bench_predict_latency_p50("fpn", iters=30),
+        "fpn_resnet50_predict_800px_b1_p50_ms_per_image",
+        False,
+        "ms/image (p50)",
     ),
     "fpn_train_b2": (
         lambda: bench_train("fpn", batch=2, iters=15),
         "fpn_resnet50_train_800px_b2_images_per_sec",
         False,
+        "images/sec/chip",
     ),
     "legacy_predict_b4": (
         lambda: bench_predict("legacy", batch=4, iters=40),
         "legacy_vgg16_predict_800px_images_per_sec",
         True,
+        "images/sec/chip",
     ),
 }
 
 
-#: rows with a measured torch-CPU floor to compare against
+#: throughput rows with a measured torch-CPU floor to compare against
 _BASELINE_KIND = {
     "legacy_predict_b4": "legacy_predict",
     "fpn_predict_b2": "fpn_predict",
+    "fpn_predict_b8": "fpn_predict",
 }
 
 
 def _row_json(name: str) -> dict:
-    fn, metric, headline = ROWS[name]
+    fn, metric, headline, unit = ROWS[name]
     value = fn()
-    row = {"metric": metric, "value": round(value, 3), "unit": "images/sec/chip"}
+    row = {"metric": metric, "value": round(value, 3), "unit": unit}
     kind = _BASELINE_KIND.get(name)
     if kind:
         baseline, baseline_metric = _measured_baseline(kind)
@@ -284,9 +325,10 @@ def main() -> None:
     subproc = os.environ.get("FRT_BENCH_SUBPROC", "1") != "0"
     # Row timeout must cover a COLD-compile-cache headline run on a new
     # host (full-model compiles through the tunnel take many minutes —
-    # the round-2 bench died exactly this way); the global budget keeps
-    # the whole sweep inside the driver's clock regardless.
-    timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "1200"))
+    # the round-2 bench died exactly this way); it is bounded by the
+    # remaining global budget at dispatch time, so a generous default
+    # costs nothing on warm hosts.
+    timeout_s = float(os.environ.get("FRT_BENCH_ROW_TIMEOUT", "1500"))
     # Global wall-clock budget: the driver's own clock is finite, and a
     # bench that gets SIGKILLed mid-sweep records whatever line printed
     # last. Every row after the budget expires emits {"skipped":
@@ -299,7 +341,7 @@ def main() -> None:
     def remaining() -> float:
         return budget_s - (time.perf_counter() - t_start)
 
-    headline_name = next(n for n, (_, _, h) in ROWS.items() if h)
+    headline_name = next(n for n, row in ROWS.items() if row[2])
     rest = [n for n in ROWS if n != headline_name] if full else []
 
     probe_s = float(os.environ.get("FRT_BENCH_PROBE_TIMEOUT", "300"))
@@ -335,8 +377,9 @@ def main() -> None:
             row = run(name)
         print(json.dumps(row), flush=True)
 
-    # Canonical final line == the headline measurement.
-    print(json.dumps(headline_row), flush=True)
+    # Canonical final line == the headline measurement, tagged so
+    # line-aggregating parsers can dedupe it against the first print.
+    print(json.dumps({**headline_row, "final": True}), flush=True)
 
 
 if __name__ == "__main__":

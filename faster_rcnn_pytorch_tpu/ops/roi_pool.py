@@ -159,11 +159,13 @@ def _roi_pool_batch_primal(features, rois, spatial_scale, output_size):
     # SMEM ceiling for the whole-batch launch: its scalar-prefetch
     # bounds array is [b*n, 4*P] s32, lane-padded to 128 columns — at
     # b8 x 300 rois that is 1.2 MB > the 1 MiB SMEM and compilation
-    # fails ("prefetched SMEM operand would exceed memory"). Gate on
-    # the padded size with headroom; larger batches use the vmapped
-    # per-image launch (one [n, 4*P] prefetch per call).
+    # fails ("prefetched SMEM operand would exceed memory"). Gate at
+    # 768 KiB: legacy predict b4 x 300 (1200 rows, ~614 KB — the shape
+    # the kernel was built and A/B'd on) stays on the batched launch;
+    # b8 x 300 (1.2 MB) falls back to the vmapped per-image launch
+    # (one [n, 4*P] prefetch per call).
     b, n = rois.shape[:2]
-    batched_smem_ok = b * n * 128 * 4 <= (1 << 19)
+    batched_smem_ok = b * n * 128 * 4 <= (3 << 18)
     if use_pallas_ops() and batched_smem_ok:
         # One whole-batch kernel launch instead of the vmapped
         # per-image dispatch's XLA while loop (perf tie, DESIGN.md §6

@@ -1,0 +1,375 @@
+"""Dual-stack mAP parity drill: the SAME weights over the SAME images
+through BOTH complete eval stacks — the reference's and this repo's —
+must produce the same VOC mAP.
+
+This is the last integration risk between "real data appears" and
+"numbers match": component-level parity (oracle tests) cannot catch an
+eval-side contract bug like the test.py:68-71 cxcy re-conversion quirk
+SURVEY.md §3.2 flags; only running both full stacks can.
+
+Pipeline (one command):
+  1. generate a 20-class shapes-VOC set (tools/make_shapes_voc
+     --classes20 — all 20 VOC class names present in test GT, so the
+     reference voc_eval's sorted-class indexing behaves exactly as on
+     real VOC);
+  2. train the repo's legacy VGG16 briefly through the unmodified train
+     CLI (or take an existing run via --name/--log_dir/--skip_train);
+  3. evaluate through the REPO stack: ``python -m
+     faster_rcnn_pytorch_tpu.test`` (float32);
+  4. export the same weights to a reference-layout ``.pth.tar``
+     (``python -m faster_rcnn_pytorch_tpu.export --export_torch``);
+  5. evaluate through the REFERENCE stack verbatim on torch-CPU:
+     /root/reference models/model.py FRCNN.predict (strict-loaded
+     checkpoint) + evaluation/evaluator.py Evaluator('voc') +
+     evaluation/voc_eval.py — the legacy path test.py:13-164 scored the
+     published VOC numbers with — using the exactness torchvision stubs
+     (tests/reference_loader.py: numpy RoIPool oracle, greedy NMS);
+  6. compare: |mAP_repo - mAP_ref| must be <= --tol; write
+     DUALSTACK_PARITY.json.
+
+At --resize 320 on the 320x320 shapes images the resize is the
+identity, so both stacks consume bit-identical normalized pixels and
+any mAP gap isolates to model numerics (TPU f32 vs torch-CPU f32) and
+evaluator conventions (the reference's +1-extent IoU / raw-XML gt
+coords vs this repo's exact-extent IoU / minus-1 gt contract — a known,
+bounded sub-pixel divergence recorded in the artifact).
+
+Run (on the TPU host):
+  python tools/dualstack_parity.py --out DUALSTACK_PARITY.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _run_cli(args: list[str], timeout: int = 3600) -> str:
+    """Run a repo CLI as a subprocess, return stdout (raise on rc!=0)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    print(f"[dualstack] $ {' '.join(args)}", flush=True)
+    out = subprocess.run(
+        [sys.executable, *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+        raise RuntimeError(f"command failed rc={out.returncode}: {args}")
+    return out.stdout
+
+
+def _resize_hw(w: int, h: int, resize: int, max_size: int) -> tuple[int, int]:
+    """Min-side resize with max-side cap (transforms_.py:61-127
+    semantics). Identity for the drill's canonical 320x320 @ 320."""
+    scale = resize / min(w, h)
+    if scale * max(w, h) > max_size:
+        scale = max_size / max(w, h)
+    return round(w * scale), round(h * scale)
+
+
+@contextlib.contextmanager
+def _pycocotools_stub():
+    """evaluation/evaluator.py imports pycocotools at module scope for
+    its COCO branch; the VOC branch never touches it. pycocotools is
+    not installed in this image — give the import a bare stub."""
+    pc = types.ModuleType("pycocotools")
+    pc_eval = types.ModuleType("pycocotools.cocoeval")
+    pc_eval.COCOeval = object
+    names = ("pycocotools", "pycocotools.cocoeval")
+    saved = {k: sys.modules.get(k) for k in names}
+    sys.modules["pycocotools"] = pc
+    sys.modules["pycocotools.cocoeval"] = pc_eval
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _alias_voc_dirname(data_root: str) -> None:
+    """Evaluator.evaluate hardcodes the real VOC archive's directory
+    name (evaluation/evaluator.py:69); alias the shapes tree to it."""
+    legacy_name = os.path.join(data_root, "VOCtest_06-Nov-2007")
+    if not os.path.exists(legacy_name):
+        os.symlink(
+            os.path.join(data_root, "VOCtest_2007"),
+            legacy_name,
+            target_is_directory=True,
+        )
+
+
+def reference_voc_map(data_root: str, infos: list[tuple]) -> tuple[float, str]:
+    """Feed per-image ``(boxes01, labels, scores, name, (w, h))`` tuples
+    through the reference's VOC evaluator verbatim
+    (evaluation/evaluator.py Evaluator('voc') + voc_eval). Returns
+    ``(mAP, printed per-class output)``. Self-contained: stubs
+    pycocotools and puts /root/reference on sys.path if needed (also
+    usable standalone by the evaluator-parity test)."""
+    added_path = REFERENCE not in sys.path
+    if added_path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        with _pycocotools_stub():
+            import evaluation.evaluator as ref_evaluator_mod
+    finally:
+        if added_path:
+            sys.path.remove(REFERENCE)
+
+    _alias_voc_dirname(data_root)
+    evaluator = ref_evaluator_mod.Evaluator(data_type="voc")
+    for info in infos:
+        evaluator.get_info(info)
+    # voc_eval writes its .cache_dir relative to CWD.
+    dataset_shim = types.SimpleNamespace(root=data_root)
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(tempfile.mkdtemp(prefix="dualstack_ref_"))
+        with contextlib.redirect_stdout(buf):
+            ref_map = evaluator.evaluate(dataset_shim)
+    finally:
+        os.chdir(cwd)
+    return float(ref_map), buf.getvalue()
+
+
+def reference_eval(
+    data_root: str, ckpt_path: str, resize: int, max_size: int, thres: float
+) -> dict:
+    """Run the reference eval stack verbatim (torch-CPU): legacy
+    FRCNN.predict per image -> Evaluator('voc').get_info ->
+    evaluate() -> voc_eval mAP. Returns {"map", "per_class_ap",
+    "n_images", "n_detections"}."""
+    import torch
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_loader import reference_modules
+
+    test_dir = os.path.join(data_root, "VOCtest_2007", "VOCdevkit", "VOC2007")
+    jpgs = sorted(
+        f
+        for f in os.listdir(os.path.join(test_dir, "JPEGImages"))
+        if f.endswith(".jpg")
+    )
+    opts = types.SimpleNamespace(thres=thres)
+    n_det = 0
+    infos = []
+
+    try:
+        with _pycocotools_stub(), reference_modules() as ref:
+            model = ref.model.FRCNN(num_classes=21)
+            blob = torch.load(ckpt_path, map_location="cpu")
+            model.load_state_dict(blob["model_state_dict"])  # strict
+            model.eval()
+
+            with torch.no_grad():
+                for i, fname in enumerate(jpgs):
+                    img = Image.open(
+                        os.path.join(test_dir, "JPEGImages", fname)
+                    ).convert("RGB")
+                    w, h = img.size
+                    nw, nh = _resize_hw(w, h, resize, max_size)
+                    if (nw, nh) != (w, h):
+                        img = img.resize((nw, nh), Image.BILINEAR)
+                    x = np.asarray(img, np.float32) / 255.0
+                    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+                    x = torch.from_numpy(
+                        np.ascontiguousarray(x.transpose(2, 0, 1))
+                    )[None]
+                    boxes, labels, scores = model.predict(x, opts)
+                    n_det += len(scores)
+                    # test.py legacy-path contract: predict's [0,1] xyxy
+                    # boxes + the image's ORIGINAL (w, h) go to the
+                    # accumulator; save_pred rescales (voc_eval.py:90-95).
+                    infos.append((boxes, labels, scores, fname[:-4], (w, h)))
+                    if (i + 1) % 20 == 0:
+                        print(
+                            f"[dualstack] reference predict {i + 1}/"
+                            f"{len(jpgs)}",
+                            flush=True,
+                        )
+
+            ref_map, printed = reference_voc_map(data_root, infos)
+            sys.stdout.write(printed)
+    finally:
+        for k in ("evaluation", "evaluation.evaluator", "evaluation.voc_eval"):
+            sys.modules.pop(k, None)
+
+    per_class = {
+        name: float(ap) / 100.0
+        for ap, name in re.findall(r"([\d.]+)% = (\S+) AP", printed)
+    }
+    return {
+        "map": float(ref_map),
+        "per_class_ap": per_class,
+        "n_images": len(jpgs),
+        "n_detections": int(n_det),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="/tmp/shapes_voc20")
+    p.add_argument("--n_train", type=int, default=800)
+    p.add_argument("--n_test", type=int, default=160)
+    p.add_argument("--resize", type=int, default=320)
+    p.add_argument("--max_size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--thres", type=float, default=0.05)
+    p.add_argument("--tol", type=float, default=0.02)
+    p.add_argument("--name", default="dualstack")
+    p.add_argument("--log_dir", default="/tmp/dualstack_logs")
+    p.add_argument("--test_epoch", default="best")
+    p.add_argument(
+        "--skip_train",
+        action="store_true",
+        help="reuse the existing {log_dir}/{name} run",
+    )
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+
+    if not os.path.isdir(
+        os.path.join(args.root, "VOCtest_2007", "VOCdevkit", "VOC2007")
+    ):
+        _run_cli(
+            [
+                os.path.join(REPO, "tools", "make_shapes_voc.py"),
+                args.root,
+                str(args.n_train),
+                str(args.n_test),
+                "--classes20",
+            ]
+        )
+
+    common = [
+        "--data_type", "voc",
+        "--data_root", args.root,
+        "--resize", str(args.resize),
+        "--max_size", str(args.max_size),
+        "--name", args.name,
+        "--log_dir", args.log_dir,
+    ]
+    if not args.skip_train:
+        _run_cli(
+            [
+                "-m", "faster_rcnn_pytorch_tpu.main",
+                *common,
+                "--epoch", str(args.epochs),
+                "--batch_size", str(args.batch_size),
+                "--lr", str(args.lr),
+            ],
+            timeout=5400,
+        )
+
+    # Repo stack (float32 so both stacks run the same precision).
+    repo_out = _run_cli(
+        [
+            "-m", "faster_rcnn_pytorch_tpu.test",
+            *common,
+            "--test_epoch", args.test_epoch,
+            "--thres", str(args.thres),
+            "--dtype", "float32",
+        ],
+        timeout=2700,
+    )
+    m = re.search(r"mAP = ([\d.]+)", repo_out)
+    if not m:
+        sys.stderr.write(repo_out[-2000:])
+        raise RuntimeError("repo test CLI printed no mAP")
+    repo_map = float(m.group(1))
+
+    ckpt_path = os.path.join(args.log_dir, args.name, "dualstack_export.pth.tar")
+    _run_cli(
+        [
+            "-m", "faster_rcnn_pytorch_tpu.export",
+            *common,
+            "--test_epoch", args.test_epoch,
+            "--dtype", "float32",
+            "--export_torch", ckpt_path,
+        ],
+        timeout=1200,
+    )
+
+    ref = reference_eval(
+        args.root, ckpt_path, args.resize, args.max_size, args.thres
+    )
+    delta = abs(repo_map - ref["map"])
+    ok = bool(delta <= args.tol)
+    result = {
+        "repo_map": round(repo_map, 4),
+        "reference_map": round(ref["map"], 4),
+        "abs_delta": round(delta, 4),
+        "tolerance": args.tol,
+        "parity_ok": ok,
+        "reference_per_class_ap": {
+            k: round(v, 4) for k, v in ref["per_class_ap"].items()
+        },
+        "n_test_images": ref["n_images"],
+        "reference_n_detections": ref["n_detections"],
+        "config": {
+            "dataset": "shapes_voc 20-class (tools/make_shapes_voc --classes20)",
+            "n_train": args.n_train,
+            "n_test": args.n_test,
+            "resize": args.resize,
+            "epochs": args.epochs,
+            "thres": args.thres,
+            "checkpoint": ckpt_path,
+            "repo_stack": "faster_rcnn_pytorch_tpu.test CLI (float32)",
+            "reference_stack": (
+                "models/model.py FRCNN.predict + evaluation/evaluator.py "
+                "Evaluator('voc') + voc_eval, torch-CPU, exactness stubs"
+            ),
+        },
+        "known_convention_deltas": (
+            "reference voc_eval uses +1-extent IoU on raw-XML (1-based) "
+            "gt coords; repo uses exact-extent IoU on the minus-1 parsed "
+            "contract — sub-pixel matcher divergence, bounded by tol"
+        ),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if not ok:
+        print(
+            f"[dualstack] PARITY FAILURE: |{repo_map:.4f} - "
+            f"{ref['map']:.4f}| = {delta:.4f} > {args.tol}",
+            file=sys.stderr,
+        )
+        return 1
+    print(
+        f"[dualstack] parity ok: repo {repo_map:.4f} vs reference "
+        f"{ref['map']:.4f} (delta {delta:.4f} <= {args.tol})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
