@@ -70,6 +70,15 @@ def main() -> None:
         "final_map": curve[-1],
         "best_map": max(curve),
     }
+    # COCO runs: the evaluator's 12-stat summary prints per epoch
+    # (coco_eval.py print_summary); record the LAST epoch's AP50/AP75
+    # so the ledger entries stay comparable across generations.
+    ap50 = re.findall(r"AP@\.50\s+= ([0-9.]+)", text)
+    ap75 = re.findall(r"AP@\.75\s+= ([0-9.]+)", text)
+    if ap50:
+        entry["final_ap50"] = float(ap50[-1])
+    if ap75:
+        entry["final_ap75"] = float(ap75[-1])
     ledger = load_ledger()
     ledger["runs"][args.name] = entry
     LEDGER.write_text(json.dumps(ledger, indent=1) + "\n")
