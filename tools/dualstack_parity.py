@@ -15,7 +15,8 @@ Pipeline (one command):
   2. train the repo's legacy VGG16 briefly through the unmodified train
      CLI (or take an existing run via --name/--log_dir/--skip_train);
   3. evaluate through the REPO stack: ``python -m
-     faster_rcnn_pytorch_tpu.test`` (float32);
+     faster_rcnn_pytorch_tpu.test`` (bfloat16, the production eval
+     dtype — see --eval_dtype);
   4. export the same weights to a reference-layout ``.pth.tar``
      (``python -m faster_rcnn_pytorch_tpu.export --export_torch``);
   5. evaluate through the REFERENCE stack verbatim on torch-CPU:
@@ -49,6 +50,7 @@ import re
 import subprocess
 import sys
 import tempfile
+import time
 import types
 
 import numpy as np
@@ -61,22 +63,39 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _run_cli(args: list[str], timeout: int = 3600) -> str:
-    """Run a repo CLI as a subprocess, return stdout (raise on rc!=0)."""
-    env = dict(os.environ, PYTHONPATH=REPO)
+def _run_cli(args: list[str], timeout: int = 3600, env_extra=None) -> str:
+    """Run a repo CLI as a subprocess, return stdout (raise on rc!=0).
+
+    The tunnelled TPU plugin occasionally fails to register its platform
+    while another process tears down its chip attachment; that transient
+    gets one retry after a pause.
+    """
+    # PREPEND to PYTHONPATH: the tunnelled TPU plugin rides in via the
+    # ambient PYTHONPATH (/root/.axon_site sitecustomize); replacing the
+    # variable would silently drop the TPU backend from subprocesses.
+    parent_pp = os.environ.get("PYTHONPATH", "")
+    pp = REPO + (os.pathsep + parent_pp if parent_pp else "")
+    env = dict(os.environ, PYTHONPATH=pp, **(env_extra or {}))
     print(f"[dualstack] $ {' '.join(args)}", flush=True)
-    out = subprocess.run(
-        [sys.executable, *args],
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
-    if out.returncode != 0:
+    for attempt in (0, 1):
+        out = subprocess.run(
+            [sys.executable, *args],
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        if out.returncode == 0:
+            return out.stdout
+        transient = "Unable to initialize backend" in (out.stderr or "")
+        if attempt == 0 and transient:
+            print("[dualstack] backend init failed; retrying in 30s", flush=True)
+            time.sleep(30)
+            continue
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError(f"command failed rc={out.returncode}: {args}")
-    return out.stdout
+    raise AssertionError("unreachable")
 
 
 def _resize_hw(w: int, h: int, resize: int, max_size: int) -> tuple[int, int]:
@@ -247,6 +266,10 @@ def main(argv=None) -> int:
     p.add_argument("--log_dir", default="/tmp/dualstack_logs")
     p.add_argument("--test_epoch", default="best")
     p.add_argument(
+        "--eval_dtype", default="bfloat16",
+        help="repo-stack eval dtype (bfloat16 = production default)",
+    )
+    p.add_argument(
         "--skip_train",
         action="store_true",
         help="reuse the existing {log_dir}/{name} run",
@@ -287,16 +310,21 @@ def main(argv=None) -> int:
             timeout=5400,
         )
 
-    # Repo stack (float32 so both stacks run the same precision).
+    # Repo stack at its PRODUCTION eval dtype (bfloat16 by default —
+    # also what the train run's per-epoch evals compiled, so the
+    # compile cache is warm; a float32 eval program is a fresh
+    # multi-ten-minute compile through the tunnel). The measured
+    # parity therefore includes the bf16-vs-torch-fp32 numeric gap a
+    # real user of the default eval config would see.
     repo_out = _run_cli(
         [
             "-m", "faster_rcnn_pytorch_tpu.test",
             *common,
             "--test_epoch", args.test_epoch,
             "--thres", str(args.thres),
-            "--dtype", "float32",
+            "--dtype", args.eval_dtype,
         ],
-        timeout=2700,
+        timeout=5400,
     )
     m = re.search(r"mAP = ([\d.]+)", repo_out)
     if not m:
@@ -305,6 +333,9 @@ def main(argv=None) -> int:
     repo_map = float(m.group(1))
 
     ckpt_path = os.path.join(args.log_dir, args.name, "dualstack_export.pth.tar")
+    # CPU backend: the conversion reads the .ckpt from disk and writes
+    # torch tensors — fetching 550 MB of params through the TPU tunnel
+    # would dominate, and no device compute is involved.
     _run_cli(
         [
             "-m", "faster_rcnn_pytorch_tpu.export",
@@ -314,6 +345,7 @@ def main(argv=None) -> int:
             "--export_torch", ckpt_path,
         ],
         timeout=1200,
+        env_extra={"JAX_PLATFORMS": "cpu"},
     )
 
     ref = reference_eval(
@@ -340,7 +372,9 @@ def main(argv=None) -> int:
             "epochs": args.epochs,
             "thres": args.thres,
             "checkpoint": ckpt_path,
-            "repo_stack": "faster_rcnn_pytorch_tpu.test CLI (float32)",
+            "repo_stack": (
+                f"faster_rcnn_pytorch_tpu.test CLI ({args.eval_dtype})"
+            ),
             "reference_stack": (
                 "models/model.py FRCNN.predict + evaluation/evaluator.py "
                 "Evaluator('voc') + voc_eval, torch-CPU, exactness stubs"

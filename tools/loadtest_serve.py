@@ -131,7 +131,11 @@ def loadtest_one(
         "--port", str(port),
         "--batch_wait_ms", str(wait_ms),
     ]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # Prepend (not replace): the TPU plugin rides in via the ambient
+    # PYTHONPATH (/root/.axon_site sitecustomize).
+    parent_pp = os.environ.get("PYTHONPATH", "")
+    pp = REPO + (os.pathsep + parent_pp if parent_pp else "")
+    env = dict(os.environ, PYTHONPATH=pp)
     proc = subprocess.Popen(
         cmd, cwd=REPO, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
