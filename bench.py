@@ -104,11 +104,16 @@ def _predict_setup(generation: str, batch: int, iters: int):
     jax.block_until_ready(images)
     extents = jnp.ones((batch, 2), jnp.float32)
 
+    # params/extents stay explicit jit ARGUMENTS: closed-over device
+    # arrays become constants EMBEDDED in the serialized program, and
+    # the tunnel's remote_compile endpoint rejects bodies past a few
+    # hundred MB (HTTP 413 — a closed-over VGG16 param tree trips it;
+    # same trap tools/chaintime.py documents).
     @jax.jit
-    def fn(im):
+    def fn(params, im, extents):
         return model.apply(params, cfg, im, extents, method=predict)
 
-    return fn, images
+    return lambda im: fn(params, im, extents), images
 
 
 def bench_predict(generation: str, batch: int, iters: int) -> float:
