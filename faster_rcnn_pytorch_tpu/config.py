@@ -65,6 +65,9 @@ class Options:
     keep_checkpoints: int = 0
     # inference
     thres: float = 0.05
+    # eval: also pickle {predictions, gts} to this path (cross-stack
+    # detection diffing, e.g. tools/dualstack_parity decomposition)
+    dump_detections: str = ""
     demo_root: str = "./demo"
     demo_image_type: str = "jpg"
     demo_vis: bool = True
@@ -84,6 +87,12 @@ class Options:
     export_dir: str = "./export"
     export_platforms: str = ""  # "" = current backend; e.g. "cpu,tpu"
     export_torch: str = ""  # write a reference-layout .pth.tar instead
+    # params as call arguments + weights.msgpack sidecar instead of
+    # baked constants: halves artifact size, shares one weights file
+    # across buckets, and keeps the StableHLO body small enough for
+    # remote_compile HTTP limits (the 274 MB baked legacy artifact
+    # trips a 413 through the tunnelled runtime; DESIGN.md §6)
+    params_sidecar: bool = False
     # numerics
     dtype: str = "bfloat16"
     # observability

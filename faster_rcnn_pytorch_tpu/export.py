@@ -27,9 +27,11 @@ from faster_rcnn_pytorch_tpu.models.faster_rcnn import (
     label_offset_for,
 )
 from faster_rcnn_pytorch_tpu.serving import (
+    PARAMS_SIDECAR,
     artifact_name,
     export_predict,
     save_artifact,
+    save_params_sidecar,
     write_manifest,
 )
 from faster_rcnn_pytorch_tpu.utils.checkpoint import resolve_and_load_params
@@ -98,24 +100,36 @@ def main(argv=None) -> int:
         exp = export_predict(
             model, cfg, params, canvas, opts.batch_size,
             score_threshold=opts.thres, platforms=platforms,
+            params_as_args=opts.params_sidecar,
         )
         fname = artifact_name(canvas, opts.batch_size)
         save_artifact(exp, os.path.join(opts.export_dir, fname))
         size_mb = os.path.getsize(os.path.join(opts.export_dir, fname)) / 1e6
-        entries.append(
-            {
-                "file": fname,
-                "canvas_hw": list(canvas),
-                "batch": opts.batch_size,
-                "platforms": list(exp.platforms),
-            }
-        )
+        entry = {
+            "file": fname,
+            "canvas_hw": list(canvas),
+            "batch": opts.batch_size,
+            "platforms": list(exp.platforms),
+        }
+        if opts.params_sidecar:
+            entry["params_as_args"] = True
+        entries.append(entry)
         print0(
             f"exported {fname} ({size_mb:.1f} MB, "
             f"platforms={list(exp.platforms)})"
         )
 
-    mpath = write_manifest(opts.export_dir, entries, opts)
+    extra = None
+    if opts.params_sidecar:
+        spath = os.path.join(opts.export_dir, PARAMS_SIDECAR)
+        save_params_sidecar(model, params, spath)
+        print0(
+            f"wrote params sidecar {PARAMS_SIDECAR} "
+            f"({os.path.getsize(spath) / 1e6:.1f} MB, shared by all buckets)"
+        )
+        extra = {"params_file": PARAMS_SIDECAR}
+
+    mpath = write_manifest(opts.export_dir, entries, opts, extra=extra)
     print0(f"wrote {mpath}")
     return 0
 

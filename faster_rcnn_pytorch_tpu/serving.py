@@ -57,24 +57,50 @@ def pack_detections(det) -> Array:
     )
 
 
+def cast_for_serving(model, params):
+    """Params at the inference compute dtype (bit-equal outputs,
+    utils/params.py): bf16 weights instead of fp32 + an in-program cast
+    — half the bytes, and the per-step cast's HBM traffic disappears."""
+    from faster_rcnn_pytorch_tpu.utils.params import (
+        cast_inference_params,
+        model_compute_dtype,
+    )
+
+    return cast_inference_params(params, model_compute_dtype(model))
+
+
 def make_serving_fn(
     model, cfg, params, score_threshold: float | None = None
 ) -> Callable[[Array, Array], Array]:
     """Jitted ``(images, extents) -> packed [B, D, 7]`` with params
     closed over (they become baked constants under ``jax.export``)."""
     from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
-    from faster_rcnn_pytorch_tpu.utils.params import (
-        cast_inference_params,
-        model_compute_dtype,
-    )
 
-    # Bake bf16 weights instead of fp32 + an in-program cast: bit-equal
-    # outputs (utils/params.py), half the artifact size, and the per-step
-    # cast's HBM traffic disappears from every exported bucket.
-    params = cast_inference_params(params, model_compute_dtype(model))
+    params = cast_for_serving(model, params)
 
     @jax.jit
     def serve(images, extents):
+        det = model.apply(
+            params, cfg, images, extents, score_threshold, method=predict
+        )
+        return pack_detections(det)
+
+    return serve
+
+
+def make_serving_fn_args(
+    model, cfg, score_threshold: float | None = None
+) -> Callable[[dict, Array, Array], Array]:
+    """Jitted ``(params, images, extents) -> packed [B, D, 7]`` with
+    params as CALL ARGUMENTS: under ``jax.export`` the weights stay out
+    of the StableHLO body (fed at call time from a sidecar file). Same
+    rule bench.py applies (commit 8d4344c) — a 274 MB baked legacy body
+    trips remote_compile HTTP limits through the tunnelled runtime;
+    the argument-style program is a few MB regardless of model size."""
+    from faster_rcnn_pytorch_tpu.models.faster_rcnn import predict
+
+    @jax.jit
+    def serve(params, images, extents):
         det = model.apply(
             params, cfg, images, extents, score_threshold, method=predict
         )
@@ -91,20 +117,31 @@ def export_predict(
     batch: int,
     score_threshold: float | None = None,
     platforms: Sequence[str] | None = None,
+    params_as_args: bool = False,
 ):
     """Export the predict program for one (canvas, batch) bucket.
 
     Returns a ``jax.export.Exported``; serialize with
     :func:`save_artifact`. ``platforms=None`` targets the current
-    backend only.
+    backend only. With ``params_as_args`` the program takes the params
+    tree as its first argument (weights live in a sidecar file written
+    by :func:`save_params_sidecar`, shared by every bucket) instead of
+    baking them as constants.
     """
     h, w = canvas_hw
-    serve = make_serving_fn(model, cfg, params, score_threshold)
     img = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
     ext = jax.ShapeDtypeStruct((batch, 2), jnp.float32)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
+    if params_as_args:
+        serve = make_serving_fn_args(model, cfg, score_threshold)
+        pspec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            cast_for_serving(model, params),
+        )
+        return jax.export.export(serve, **kwargs)(pspec, img, ext)
+    serve = make_serving_fn(model, cfg, params, score_threshold)
     return jax.export.export(serve, **kwargs)(img, ext)
 
 
@@ -127,6 +164,32 @@ def artifact_name(canvas_hw: tuple[int, int], batch: int) -> str:
     return f"predict_{canvas_hw[0]}x{canvas_hw[1]}_b{batch}.jaxexp"
 
 
+#: canonical sidecar file name inside an export dir (one per dir — the
+#: cast params are identical for every bucket).
+PARAMS_SIDECAR = "weights.msgpack"
+
+
+def save_params_sidecar(model, params, path: str) -> None:
+    """Serving-dtype weights as a flax msgpack blob (atomic write)."""
+    from flax import serialization
+
+    data = serialization.to_bytes(cast_for_serving(model, params))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_params_sidecar(path: str):
+    """Sidecar -> params pytree of device arrays (one transfer at load;
+    callers reuse the same committed buffers on every request)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    return jax.tree.map(jnp.asarray, restored)
+
+
 class ExportedDetector:
     """Manifest-driven serving entry point: routes each request to the
     artifact matching its ``(batch, canvas)`` bucket.
@@ -143,12 +206,14 @@ class ExportedDetector:
         with open(os.path.join(export_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self._index: dict[tuple[int, int, int], str] = {}
+        self._entry: dict[tuple[int, int, int], dict] = {}
         for e in self.manifest["artifacts"]:
             h, w = e["canvas_hw"]
-            self._index[(int(e["batch"]), int(h), int(w))] = os.path.join(
-                export_dir, e["file"]
-            )
+            key = (int(e["batch"]), int(h), int(w))
+            self._index[key] = os.path.join(export_dir, e["file"])
+            self._entry[key] = e
         self._cache: dict[tuple[int, int, int], Callable] = {}
+        self._sidecar_params = None  # lazy, shared across buckets
 
     def buckets(self) -> list[tuple[int, tuple[int, int]]]:
         return [(b, (h, w)) for (b, h, w) in sorted(self._index)]
@@ -162,7 +227,23 @@ class ExportedDetector:
                 f"{self.buckets()}"
             )
         if key not in self._cache:
-            self._cache[key] = load_artifact(self._index[key])
+            call = load_artifact(self._index[key])
+            if self._entry[key].get("params_as_args"):
+                if self._sidecar_params is None:
+                    self._sidecar_params = load_params_sidecar(
+                        os.path.join(
+                            self.export_dir,
+                            self.manifest.get(
+                                "params_file", PARAMS_SIDECAR
+                            ),
+                        )
+                    )
+                params = self._sidecar_params
+                self._cache[key] = (
+                    lambda img, ext, _c=call, _p=params: _c(_p, img, ext)
+                )
+            else:
+                self._cache[key] = call
         return self._cache[key](images, extents)
 
 

@@ -141,6 +141,60 @@ def test_exported_detector_routes_by_shape(tmp_path):
         det(jnp.zeros((1, CANVAS + 32, CANVAS, 3), jnp.float32), ext)
 
 
+@pytest.mark.slow
+def test_params_sidecar_artifact_matches_baked(tmp_path):
+    """params-as-args export: the StableHLO body carries no weights (a
+    fraction of the baked artifact's bytes — the property that keeps
+    the 274 MB legacy program under remote_compile HTTP limits,
+    DESIGN.md §6), the sidecar round-trips through ExportedDetector,
+    and the outputs are bit-equal to the baked artifact's."""
+    from faster_rcnn_pytorch_tpu.serving import (
+        PARAMS_SIDECAR,
+        ExportedDetector,
+        save_params_sidecar,
+        write_manifest,
+    )
+
+    model, params = _tiny_model_params()
+    rs = np.random.RandomState(7)
+    images = jnp.asarray(
+        rs.normal(size=(1, CANVAS, CANVAS, 3)).astype(np.float32)
+    )
+    extents = jnp.asarray([[1.0, 0.9]], jnp.float32)
+
+    baked = export_predict(model, TINY, params, (CANVAS, CANVAS), batch=1)
+    baked_path = os.path.join(tmp_path, "baked.jaxexp")
+    save_artifact(baked, baked_path)
+    want = load_artifact(baked_path)(images, extents)
+
+    side = export_predict(
+        model, TINY, params, (CANVAS, CANVAS), batch=1, params_as_args=True
+    )
+    fname = artifact_name((CANVAS, CANVAS), 1)
+    side_path = os.path.join(tmp_path, fname)
+    save_artifact(side, side_path)
+    save_params_sidecar(model, params, os.path.join(tmp_path, PARAMS_SIDECAR))
+    # Weights out of the program body: the argument-style artifact must
+    # be far smaller than the constant-baked one.
+    assert os.path.getsize(side_path) < 0.5 * os.path.getsize(baked_path)
+
+    write_manifest(
+        str(tmp_path),
+        [
+            {
+                "file": fname,
+                "canvas_hw": [CANVAS, CANVAS],
+                "batch": 1,
+                "params_as_args": True,
+            }
+        ],
+        extra={"params_file": PARAMS_SIDECAR},
+    )
+    det = ExportedDetector(str(tmp_path))
+    got = det(images, extents)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_manifest_merge_keeps_prior_entries(tmp_path):
     """Re-exporting into the same directory must not orphan earlier
     artifacts from the manifest."""
