@@ -89,6 +89,7 @@ def evaluate(
     max_images: int | None = None,
     max_detections: int | None = None,
     mesh=None,
+    dump_path: str | None = None,
 ) -> dict:
     """Run the full eval pass; returns {"map": ..., "stats": ...}.
 
@@ -238,6 +239,17 @@ def evaluate(
         f"({n_img / max(infer_time, 1e-9):.2f} img/s), "
         f"{n_det} detections above threshold"
     )
+
+    if dump_path:
+        # This host's shard of raw detections + gts, for offline
+        # cross-stack diffing (tools/dualstack_parity decomposition).
+        import pickle
+
+        with open(dump_path, "wb") as f:
+            pickle.dump({"predictions": predictions, "gts": gts}, f)
+        print0(
+            f"dumped {len(predictions)} images' detections to {dump_path}"
+        )
 
     if data_type == "voc":
         from faster_rcnn_pytorch_tpu.data.voc import VOC_CLASSES

@@ -160,12 +160,15 @@ def _roi_pool_batch_primal(features, rois, spatial_scale, output_size):
     # bounds array is [b*n, 4*P] s32, lane-padded to 128 columns — at
     # b8 x 300 rois that is 1.2 MB > the 1 MiB SMEM and compilation
     # fails ("prefetched SMEM operand would exceed memory"). Gate at
-    # 768 KiB: legacy predict b4 x 300 (1200 rows, ~614 KB — the shape
-    # the kernel was built and A/B'd on) stays on the batched launch;
-    # b8 x 300 (1.2 MB) falls back to the vmapped per-image launch
-    # (one [n, 4*P] prefetch per call).
+    # 1280 rows (640 KB of prefetch): just above legacy predict
+    # b4 x 300 (1200 rows, ~614 KB — the largest shape the batched
+    # launch was compile-verified on). Shapes past that (e.g.
+    # b8 x 300, 1.2 MB) fall back to the vmapped per-image launch (one
+    # [n, 4*P] prefetch per call); the gate deliberately hugs the
+    # validated boundary rather than the theoretical 1 MiB ceiling so
+    # an unvalidated shape can never hard-fail compilation (ADVICE r4).
     b, n = rois.shape[:2]
-    batched_smem_ok = b * n * 128 * 4 <= (3 << 18)
+    batched_smem_ok = b * n <= 1280
     if use_pallas_ops() and batched_smem_ok:
         # One whole-batch kernel launch instead of the vmapped
         # per-image dispatch's XLA while loop (perf tie, DESIGN.md §6

@@ -76,6 +76,7 @@ def main(argv=None) -> int:
         label_map=label_map_for(opts, coco_index),
         score_threshold=opts.thres,
         mesh=mesh,
+        dump_path=opts.dump_detections or None,
     )
     print0(f"mAP = {result['map']:.4f}")
     return 0

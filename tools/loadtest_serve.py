@@ -145,11 +145,27 @@ def loadtest_one(
         wait_healthy(url, startup_timeout)
         # Warm every client path once before the timed window.
         run_clients(url, payloads, concurrency, duration_s=2.0)
+        # /metrics counters are cumulative since server start; snapshot
+        # before AND after the timed window and report the difference so
+        # dispatches/batch_hist describe exactly the timed requests, not
+        # the warm-up traffic (ADVICE r4).
+        with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+            metrics_pre = json.loads(r.read())
         t0 = time.perf_counter()
         lats = run_clients(url, payloads, concurrency, duration_s)
         elapsed = time.perf_counter() - t0
         with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
-            metrics = json.loads(r.read())
+            metrics_post = json.loads(r.read())
+        pre_hist = metrics_pre.get("batch_hist", {})
+        metrics = {
+            "dispatches": metrics_post.get("dispatches", 0)
+            - metrics_pre.get("dispatches", 0),
+            "batch_hist": {
+                k: v - pre_hist.get(k, 0)
+                for k, v in metrics_post.get("batch_hist", {}).items()
+                if v - pre_hist.get(k, 0) > 0
+            },
+        }
     finally:
         proc.terminate()
         try:

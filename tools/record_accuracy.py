@@ -73,12 +73,17 @@ def main() -> None:
     # COCO runs: the evaluator's 12-stat summary prints per epoch
     # (coco_eval.py print_summary); record the LAST epoch's AP50/AP75
     # so the ledger entries stay comparable across generations.
-    ap50 = re.findall(r"AP@\.50\s+= ([0-9.]+)", text)
-    ap75 = re.findall(r"AP@\.75\s+= ([0-9.]+)", text)
+    # Sign-aware match: the COCO evaluator prints -1.000 as the
+    # empty-bucket sentinel; record those as null, never as 1.0
+    # (ADVICE r4: the unsigned regex dropped the minus sign).
+    ap50 = re.findall(r"AP@\.50\s+= (-?[0-9.]+)", text)
+    ap75 = re.findall(r"AP@\.75\s+= (-?[0-9.]+)", text)
     if ap50:
-        entry["final_ap50"] = float(ap50[-1])
+        v = float(ap50[-1])
+        entry["final_ap50"] = v if v >= 0 else None
     if ap75:
-        entry["final_ap75"] = float(ap75[-1])
+        v = float(ap75[-1])
+        entry["final_ap75"] = v if v >= 0 else None
     ledger = load_ledger()
     ledger["runs"][args.name] = entry
     LEDGER.write_text(json.dumps(ledger, indent=1) + "\n")
