@@ -63,12 +63,20 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _run_cli(args: list[str], timeout: int = 3600, env_extra=None) -> str:
+def _run_cli(
+    args: list[str],
+    timeout: int = 3600,
+    env_extra=None,
+    allow_retry: bool = False,
+) -> str:
     """Run a repo CLI as a subprocess, return stdout (raise on rc!=0).
 
     The tunnelled TPU plugin occasionally fails to register its platform
     while another process tears down its chip attachment; that transient
-    gets one retry after a pause.
+    gets one retry after a pause — but ONLY when the caller marks the
+    command retry-safe (read-only eval/export). State-mutating commands
+    (train, dataset generation) must not silently re-run against a
+    possibly partially-written output dir (ADVICE r4).
     """
     # PREPEND to PYTHONPATH: the tunnelled TPU plugin rides in via the
     # ambient PYTHONPATH (/root/.axon_site sitecustomize); replacing the
@@ -89,7 +97,7 @@ def _run_cli(args: list[str], timeout: int = 3600, env_extra=None) -> str:
         if out.returncode == 0:
             return out.stdout
         transient = "Unable to initialize backend" in (out.stderr or "")
-        if attempt == 0 and transient:
+        if attempt == 0 and transient and allow_retry:
             print("[dualstack] backend init failed; retrying in 30s", flush=True)
             time.sleep(30)
             continue
@@ -166,12 +174,13 @@ def reference_voc_map(data_root: str, infos: list[tuple]) -> tuple[float, str]:
     dataset_shim = types.SimpleNamespace(root=data_root)
     cwd = os.getcwd()
     buf = io.StringIO()
-    try:
-        os.chdir(tempfile.mkdtemp(prefix="dualstack_ref_"))
-        with contextlib.redirect_stdout(buf):
-            ref_map = evaluator.evaluate(dataset_shim)
-    finally:
-        os.chdir(cwd)
+    with tempfile.TemporaryDirectory(prefix="dualstack_ref_") as tmp:
+        try:
+            os.chdir(tmp)
+            with contextlib.redirect_stdout(buf):
+                ref_map = evaluator.evaluate(dataset_shim)
+        finally:
+            os.chdir(cwd)
     return float(ref_map), buf.getvalue()
 
 
@@ -262,12 +271,18 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--thres", type=float, default=0.05)
     p.add_argument("--tol", type=float, default=0.02)
+    p.add_argument(
+        "--tol_fp32", type=float, default=0.01,
+        help="tighter bound for the float32 repo leg (numerics-only "
+        "gap vs the torch-fp32 reference stack)",
+    )
     p.add_argument("--name", default="dualstack")
     p.add_argument("--log_dir", default="/tmp/dualstack_logs")
     p.add_argument("--test_epoch", default="best")
     p.add_argument(
         "--eval_dtype", default="bfloat16",
-        help="repo-stack eval dtype (bfloat16 = production default)",
+        help="comma-separated repo-stack eval dtypes, one leg each "
+        "(e.g. 'bfloat16,float32'; bfloat16 = production default)",
     )
     p.add_argument(
         "--skip_train",
@@ -310,27 +325,40 @@ def main(argv=None) -> int:
             timeout=5400,
         )
 
-    # Repo stack at its PRODUCTION eval dtype (bfloat16 by default —
-    # also what the train run's per-epoch evals compiled, so the
-    # compile cache is warm; a float32 eval program is a fresh
-    # multi-ten-minute compile through the tunnel). The measured
-    # parity therefore includes the bf16-vs-torch-fp32 numeric gap a
-    # real user of the default eval config would see.
-    repo_out = _run_cli(
-        [
-            "-m", "faster_rcnn_pytorch_tpu.test",
-            *common,
-            "--test_epoch", args.test_epoch,
-            "--thres", str(args.thres),
-            "--dtype", args.eval_dtype,
-        ],
-        timeout=5400,
-    )
-    m = re.search(r"mAP = ([\d.]+)", repo_out)
-    if not m:
-        sys.stderr.write(repo_out[-2000:])
-        raise RuntimeError("repo test CLI printed no mAP")
-    repo_map = float(m.group(1))
+    # Repo stack, one leg per requested dtype. bfloat16 is the
+    # PRODUCTION eval dtype (also what the train run's per-epoch evals
+    # compiled, so the compile cache is warm); the float32 leg isolates
+    # the dtype gap from convention deltas against the torch-fp32
+    # reference — it carries the tighter --tol_fp32 bound (VERDICT r4:
+    # parity must be demonstrated where it has teeth) and is a fresh
+    # multi-ten-minute compile through the tunnel on a cold cache.
+    repo_maps: dict[str, float] = {}
+    for eval_dtype in [
+        d.strip() for d in args.eval_dtype.split(",") if d.strip()
+    ]:
+        repo_out = _run_cli(
+            [
+                "-m", "faster_rcnn_pytorch_tpu.test",
+                *common,
+                "--test_epoch", args.test_epoch,
+                "--thres", str(args.thres),
+                "--dtype", eval_dtype,
+            ],
+            timeout=5400,
+            allow_retry=True,
+        )
+        m = re.search(r"mAP = ([\d.]+)", repo_out)
+        if not m:
+            sys.stderr.write(repo_out[-2000:])
+            raise RuntimeError("repo test CLI printed no mAP")
+        repo_maps[eval_dtype] = float(m.group(1))
+        print(
+            f"[dualstack] repo mAP ({eval_dtype}) = {repo_maps[eval_dtype]}",
+            flush=True,
+        )
+    # Headline leg: float32 when present (tightest claim), else first.
+    headline = "float32" if "float32" in repo_maps else next(iter(repo_maps))
+    repo_map = repo_maps[headline]
 
     ckpt_path = os.path.join(args.log_dir, args.name, "dualstack_export.pth.tar")
     # CPU backend: the conversion reads the .ckpt from disk and writes
@@ -346,18 +374,32 @@ def main(argv=None) -> int:
         ],
         timeout=1200,
         env_extra={"JAX_PLATFORMS": "cpu"},
+        allow_retry=True,
     )
 
     ref = reference_eval(
         args.root, ckpt_path, args.resize, args.max_size, args.thres
     )
+    # Per-leg verdicts: float32 carries the tight bound (numerics-only
+    # gap vs torch-fp32), bfloat16 the production-dtype bound.
+    legs = {}
+    for eval_dtype, rmap in repo_maps.items():
+        tol = args.tol_fp32 if eval_dtype == "float32" else args.tol
+        legs[eval_dtype] = {
+            "repo_map": round(rmap, 4),
+            "abs_delta": round(abs(rmap - ref["map"]), 4),
+            "tolerance": tol,
+            "ok": bool(abs(rmap - ref["map"]) <= tol),
+        }
     delta = abs(repo_map - ref["map"])
-    ok = bool(delta <= args.tol)
+    ok = all(leg["ok"] for leg in legs.values())
     result = {
         "repo_map": round(repo_map, 4),
+        "headline_dtype": headline,
+        "legs": legs,
         "reference_map": round(ref["map"], 4),
         "abs_delta": round(delta, 4),
-        "tolerance": args.tol,
+        "tolerance": args.tol_fp32 if headline == "float32" else args.tol,
         "parity_ok": ok,
         "reference_per_class_ap": {
             k: round(v, 4) for k, v in ref["per_class_ap"].items()
@@ -373,7 +415,8 @@ def main(argv=None) -> int:
             "thres": args.thres,
             "checkpoint": ckpt_path,
             "repo_stack": (
-                f"faster_rcnn_pytorch_tpu.test CLI ({args.eval_dtype})"
+                "faster_rcnn_pytorch_tpu.test CLI "
+                f"(legs: {', '.join(repo_maps)})"
             ),
             "reference_stack": (
                 "models/model.py FRCNN.predict + evaluation/evaluator.py "
