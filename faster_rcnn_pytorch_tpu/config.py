@@ -95,6 +95,12 @@ class Options:
     params_sidecar: bool = False
     # numerics
     dtype: str = "bfloat16"
+    # MXU dot/conv precision for float32 operands. jax's "default" on
+    # TPU multiplies in bfloat16 (fp32 accumulate) — fast, but NOT true
+    # fp32 numerics; "highest" runs the multi-pass fp32 schedule. Parity
+    # evals against a torch-fp32 stack need "highest" (the dual-stack
+    # drill's float32 leg sets it); production train/eval keep "default".
+    matmul_precision: str = "default"  # default | high | highest
     # observability
     profile: bool = False  # jax.profiler trace around the first epoch
 

@@ -102,10 +102,14 @@ def label_map_for(opts: Options, coco_index):
 
 
 def main(argv=None) -> int:
-    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+    from faster_rcnn_pytorch_tpu.utils.runtime import (
+        apply_matmul_precision,
+        setup_runtime,
+    )
 
     setup_runtime()
     opts = load_options(argv)
+    apply_matmul_precision(opts.matmul_precision)
     if opts.coordinator:
         initialize_multihost(opts.coordinator, opts.num_hosts, opts.host_id)
     opts.host_id = jax.process_index()

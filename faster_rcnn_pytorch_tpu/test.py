@@ -25,10 +25,14 @@ from faster_rcnn_pytorch_tpu.utils.logging import print0
 
 
 def main(argv=None) -> int:
-    from faster_rcnn_pytorch_tpu.utils.runtime import setup_runtime
+    from faster_rcnn_pytorch_tpu.utils.runtime import (
+        apply_matmul_precision,
+        setup_runtime,
+    )
 
     setup_runtime()
     opts = load_options(argv)
+    apply_matmul_precision(opts.matmul_precision)
 
     # SPMD eval over the local devices (single-host CLI): batch rows
     # shard over the mesh `data` axis exactly like main.py's per-epoch

@@ -27,3 +27,17 @@ def setup_runtime() -> None:
     from faster_rcnn_pytorch_tpu.utils.compile_cache import enable
 
     enable()
+
+
+def apply_matmul_precision(precision: str) -> None:
+    """Set the global fp32 dot/conv precision (``--matmul_precision``).
+
+    "default" leaves jax's TPU default (bfloat16 multiplies, fp32
+    accumulate). "highest" selects the multi-pass true-fp32 MXU schedule
+    — required when fp32 outputs must match a genuine-fp32 stack (the
+    dual-stack parity drill's float32 leg vs torch-CPU).
+    """
+    if precision and precision != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)

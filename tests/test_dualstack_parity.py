@@ -168,3 +168,44 @@ def test_reference_and_repo_voc_evaluators_agree(shapes20_root):
     # The stacks differ only in the documented sub-pixel IoU/coord
     # conventions; on +-3 px jitter that bounds the gap tightly.
     assert abs(repo_map - ref_map) < 0.02, (repo_map, ref_map)
+
+
+def test_decompose_gap_greedy_match(tmp_path):
+    """decompose_gap separates identical stacks (full match, zero deltas)
+    from a structural divergence (unmatched extra boxes)."""
+    import pickle
+
+    from dualstack_parity import _greedy_match, decompose_gap
+
+    boxes = np.array(
+        [[10, 10, 50, 60], [80, 20, 140, 90]], np.float32
+    )
+    labels = np.array([2, 5], np.int64)
+    scores = np.array([0.9, 0.4], np.float32)
+    da = {"boxes": boxes, "labels": labels, "scores": scores}
+
+    # Identical sets: every pair matches with zero deltas.
+    m, sdel, bdel = _greedy_match(da, da)
+    assert m == 2 and max(sdel) == 0.0 and max(bdel) == 0.0
+
+    # Sub-pixel jitter still matches; a label flip does not.
+    db = {
+        "boxes": boxes + 0.5,
+        "labels": labels.copy(),
+        "scores": scores + 0.01,
+    }
+    db["labels"][1] = 7
+    m, sdel, bdel = _greedy_match(da, db)
+    assert m == 1 and abs(sdel[0] - 0.01) < 1e-6 and bdel[0] == 0.5
+
+    # End-to-end on the dump layout: repo img_id = sorted-stem index.
+    dump = tmp_path / "repo_dets.pkl"
+    with open(dump, "wb") as f:
+        pickle.dump(
+            {"predictions": {0: da, 1: da}, "gts": {}}, f
+        )
+    out = decompose_gap(str(dump), [da, db])
+    assert out["matched_pairs"] == 3
+    assert out["repo_n_detections"] == 4
+    assert out["reference_n_detections"] == 4
+    assert out["matched_frac_of_ref"] == 0.75

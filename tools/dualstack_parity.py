@@ -206,6 +206,7 @@ def reference_eval(
     opts = types.SimpleNamespace(thres=thres)
     n_det = 0
     infos = []
+    dets: list[dict] = []  # original-pixel copies for cross-stack diffing
 
     try:
         with _pycocotools_stub(), reference_modules() as ref:
@@ -234,6 +235,14 @@ def reference_eval(
                     # boxes + the image's ORIGINAL (w, h) go to the
                     # accumulator; save_pred rescales (voc_eval.py:90-95).
                     infos.append((boxes, labels, scores, fname[:-4], (w, h)))
+                    dets.append(
+                        {
+                            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4)
+                            * np.array([w, h, w, h], np.float32),
+                            "labels": np.asarray(labels, np.int64).reshape(-1),
+                            "scores": np.asarray(scores, np.float32).reshape(-1),
+                        }
+                    )
                     if (i + 1) % 20 == 0:
                         print(
                             f"[dualstack] reference predict {i + 1}/"
@@ -256,6 +265,86 @@ def reference_eval(
         "per_class_ap": per_class,
         "n_images": len(jpgs),
         "n_detections": int(n_det),
+        "detections": dets,  # index-aligned with sorted test stems
+    }
+
+
+def _greedy_match(da: dict, db: dict, iou_thr: float = 0.75):
+    """Greedy same-label box matching between two stacks' detections for
+    one image (original-pixel xyxy). Returns (n_matched, score_deltas,
+    box_linf_deltas)."""
+    na, nb = len(da["scores"]), len(db["scores"])
+    if na == 0 or nb == 0:
+        return 0, [], []
+    A, B = da["boxes"], db["boxes"]
+    inter_w = np.maximum(
+        0,
+        np.minimum(A[:, None, 2], B[None, :, 2])
+        - np.maximum(A[:, None, 0], B[None, :, 0]),
+    )
+    inter_h = np.maximum(
+        0,
+        np.minimum(A[:, None, 3], B[None, :, 3])
+        - np.maximum(A[:, None, 1], B[None, :, 1]),
+    )
+    inter = inter_w * inter_h
+    area_a = (A[:, 2] - A[:, 0]) * (A[:, 3] - A[:, 1])
+    area_b = (B[:, 2] - B[:, 0]) * (B[:, 3] - B[:, 1])
+    iou = inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+    iou = np.where(
+        da["labels"][:, None] == db["labels"][None, :], iou, 0.0
+    )
+    used_b = np.zeros(nb, bool)
+    matched, sdel, bdel = 0, [], []
+    for i in np.argsort(-da["scores"]):
+        j = int(np.argmax(np.where(used_b, -1.0, iou[i])))
+        if not used_b[j] and iou[i, j] >= iou_thr:
+            used_b[j] = True
+            matched += 1
+            sdel.append(abs(float(da["scores"][i]) - float(db["scores"][j])))
+            bdel.append(float(np.max(np.abs(A[i] - B[j]))))
+    return matched, sdel, bdel
+
+
+def decompose_gap(repo_dump_path: str, ref_dets: list[dict]) -> dict:
+    """Detection-level diff between the repo stack's ``--dump_detections``
+    pickle (img_id = sorted-stem index, data/voc.py:101-125) and the
+    reference stack's index-aligned detections. Distinguishes a diffuse
+    numerics residual (high matched fraction, tiny score deltas) from a
+    structural predict-path divergence (systematic unmatched boxes)."""
+    import pickle
+
+    with open(repo_dump_path, "rb") as f:
+        repo = pickle.load(f)["predictions"]
+    n_repo = n_ref = n_match = 0
+    sdel: list[float] = []
+    bdel: list[float] = []
+    for i, rd in enumerate(ref_dets):
+        pi = repo.get(i)
+        if pi is None:
+            continue
+        da = {
+            "boxes": np.asarray(pi["boxes"], np.float32).reshape(-1, 4),
+            "labels": np.asarray(pi["labels"], np.int64).reshape(-1),
+            "scores": np.asarray(pi["scores"], np.float32).reshape(-1),
+        }
+        m, s, b = _greedy_match(da, rd)
+        n_repo += len(da["scores"])
+        n_ref += len(rd["scores"])
+        n_match += m
+        sdel += s
+        bdel += b
+    return {
+        "repo_n_detections": int(n_repo),
+        "reference_n_detections": int(n_ref),
+        "matched_pairs": int(n_match),
+        "matched_frac_of_ref": round(n_match / max(n_ref, 1), 4),
+        "mean_abs_score_delta": round(float(np.mean(sdel)), 5) if sdel else None,
+        "p99_abs_score_delta": (
+            round(float(np.percentile(sdel, 99)), 5) if sdel else None
+        ),
+        "mean_box_linf_px": round(float(np.mean(bdel)), 3) if bdel else None,
+        "match_iou_thr": 0.75,
     }
 
 
@@ -333,9 +422,19 @@ def main(argv=None) -> int:
     # parity must be demonstrated where it has teeth) and is a fresh
     # multi-ten-minute compile through the tunnel on a cold cache.
     repo_maps: dict[str, float] = {}
+    dump_paths: dict[str, str] = {}
     for eval_dtype in [
         d.strip() for d in args.eval_dtype.split(",") if d.strip()
     ]:
+        dump_paths[eval_dtype] = os.path.join(
+            args.log_dir, args.name, f"repo_dets_{eval_dtype}.pkl"
+        )
+        # The float32 leg claims parity against a TRUE-fp32 torch stack,
+        # so it must not run the TPU default bf16-multiply MXU schedule
+        # (jax default precision): force the multi-pass fp32 schedule.
+        precision = ["--matmul_precision", "highest"] if (
+            eval_dtype == "float32"
+        ) else []
         repo_out = _run_cli(
             [
                 "-m", "faster_rcnn_pytorch_tpu.test",
@@ -343,6 +442,8 @@ def main(argv=None) -> int:
                 "--test_epoch", args.test_epoch,
                 "--thres", str(args.thres),
                 "--dtype", eval_dtype,
+                "--dump_detections", dump_paths[eval_dtype],
+                *precision,
             ],
             timeout=5400,
             allow_retry=True,
@@ -393,6 +494,12 @@ def main(argv=None) -> int:
         }
     delta = abs(repo_map - ref["map"])
     ok = all(leg["ok"] for leg in legs.values())
+    decomposition = None
+    if os.path.exists(dump_paths.get(headline, "")):
+        decomposition = decompose_gap(
+            dump_paths[headline], ref["detections"]
+        )
+        print(f"[dualstack] decomposition: {decomposition}", flush=True)
     result = {
         "repo_map": round(repo_map, 4),
         "headline_dtype": headline,
@@ -406,6 +513,7 @@ def main(argv=None) -> int:
         },
         "n_test_images": ref["n_images"],
         "reference_n_detections": ref["n_detections"],
+        "decomposition": decomposition,
         "config": {
             "dataset": "shapes_voc 20-class (tools/make_shapes_voc --classes20)",
             "n_train": args.n_train,
@@ -416,7 +524,8 @@ def main(argv=None) -> int:
             "checkpoint": ckpt_path,
             "repo_stack": (
                 "faster_rcnn_pytorch_tpu.test CLI "
-                f"(legs: {', '.join(repo_maps)})"
+                f"(legs: {', '.join(repo_maps)}; float32 leg at "
+                "--matmul_precision highest = true-fp32 MXU schedule)"
             ),
             "reference_stack": (
                 "models/model.py FRCNN.predict + evaluation/evaluator.py "
